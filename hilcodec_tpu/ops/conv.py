@@ -1,0 +1,162 @@
+"""Causal 1-D convolution primitives (batch + streaming), TPU-first.
+
+All tensors are NCL (`[batch, channels, length]`), matching the codec's
+native layout. Batch mode lowers to a single `lax.conv_general_dilated`
+(XLA tiles it onto the MXU); streaming mode implements the exact cache
+semantics of the reference deployment:
+
+  * causal conv cache length  = d*(k-1) - (s-1)
+    (reference models/hilcodec/causal_layers.py:147-165)
+  * causal transposed-conv cache length = floor(d*(k-1)/s), with
+    padding/output_padding chosen so each step emits exactly L*s samples
+    (reference models/hilcodec/causal_layers.py:168-188)
+
+so that per-frame streaming is bit-equivalent to the batched forward.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# NCL activations, OIL weights (out, in/groups, k)
+_DIMS = ("NCH", "OIH", "NCH")
+
+
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+           stride: int = 1, dilation: int = 1, groups: int = 1,
+           padding: Tuple[int, int] = (0, 0)) -> jnp.ndarray:
+    """Plain conv1d. x: [B, Cin, L]; w: [Cout, Cin/groups, k]; b: [Cout]."""
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride,), padding=[padding],
+        rhs_dilation=(dilation,), dimension_numbers=_DIMS,
+        feature_group_count=groups)
+    if b is not None:
+        y = y + b.astype(y.dtype)[None, :, None]
+    return y
+
+
+def causal_pad_total(kernel_size: int, stride: int = 1,
+                     dilation: int = 1) -> int:
+    """Left padding of a causal strided conv: d*(k-1) - (s-1)."""
+    return dilation * (kernel_size - 1) - (stride - 1)
+
+
+def extra_pad_for_full_windows(length: int, kernel_size: int, stride: int,
+                               padding_total: int) -> int:
+    """Right padding so the final conv window is full.
+
+    Static-shape equivalent of the reference's
+    get_extra_padding_for_conv1d (models/hilcodec/modules/conv.py:61-68).
+    """
+    n_frames = (length - kernel_size + padding_total) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + kernel_size - padding_total
+    return ideal - length
+
+
+def causal_conv1d(x: jnp.ndarray, w: jnp.ndarray,
+                  b: Optional[jnp.ndarray] = None, stride: int = 1,
+                  dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+    """Batched causal conv: left-pad by d*(k-1)-(s-1), right-pad to a full
+    last window (constant/zero padding, the shipped `pad_mode`)."""
+    k = w.shape[-1]
+    pad_total = causal_pad_total(k, stride, dilation)
+    extra = extra_pad_for_full_windows(x.shape[-1], k, stride, pad_total)
+    return conv1d(x, w, b, stride, dilation, groups,
+                  padding=(pad_total, extra))
+
+
+def causal_conv1d_cache_len(kernel_size: int, stride: int = 1,
+                            dilation: int = 1) -> int:
+    return dilation * (kernel_size - 1) - (stride - 1)
+
+
+def causal_conv1d_step(x: jnp.ndarray, cache: jnp.ndarray, w: jnp.ndarray,
+                       b: Optional[jnp.ndarray] = None, stride: int = 1,
+                       dilation: int = 1, groups: int = 1
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming step: concat cache, conv, keep last `cache_len` samples.
+
+    x: [B, Cin, L] with L a multiple of `stride`; cache: [B, Cin, cache_len].
+    """
+    cache_len = cache.shape[-1]
+    xc = jnp.concatenate([cache, x], axis=-1)
+    new_cache = xc[:, :, xc.shape[-1] - cache_len:]
+    y = conv1d(xc, w, b, stride, dilation, groups)
+    return y, new_cache
+
+
+def _convt_weight_as_conv(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Torch ConvTranspose1d weight [Cin, Cout/groups, k] -> equivalent
+    regular-conv weight [Cout, Cin/groups, k] (kernel flipped)."""
+    cin, cout_g, k = w.shape
+    cin_g = cin // groups
+    w = w.reshape(groups, cin_g, cout_g, k)
+    w = jnp.flip(w, axis=-1).transpose(0, 2, 1, 3)  # [g, cout_g, cin_g, k]
+    return w.reshape(groups * cout_g, cin_g, k)
+
+
+def causal_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
+                            b: Optional[jnp.ndarray] = None, stride: int = 1,
+                            dilation: int = 1, groups: int = 1
+                            ) -> jnp.ndarray:
+    """Batched causal transposed conv (training graph semantics).
+
+    Equals torch `conv_transpose1d(x, w, stride=s)` followed by trimming
+    `k - s` samples on the right (trim_right_ratio=1.0, reference
+    models/hilcodec/modules/conv.py:260-282). Output length = L*s.
+    w layout follows torch ConvTranspose1d: [Cin, Cout/groups, k].
+    """
+    k = w.shape[-1]
+    wc = _convt_weight_as_conv(w, groups)
+    rf = dilation * (k - 1)
+    # full transposed conv = lhs-dilated conv with padding (rf, rf);
+    # trimming (k - s) on the right folds into the right padding.
+    y = lax.conv_general_dilated(
+        x, wc.astype(x.dtype), window_strides=(1,),
+        padding=[(rf, rf - (k - stride))], lhs_dilation=(stride,),
+        rhs_dilation=(dilation,), dimension_numbers=_DIMS,
+        feature_group_count=groups)
+    if b is not None:
+        y = y + b.astype(y.dtype)[None, :, None]
+    return y
+
+
+def causal_conv_transpose1d_cache_len(kernel_size: int, stride: int = 1,
+                                      dilation: int = 1) -> int:
+    return (dilation * (kernel_size - 1)) // stride
+
+
+def causal_conv_transpose1d_step(x: jnp.ndarray, cache: jnp.ndarray,
+                                 w: jnp.ndarray,
+                                 b: Optional[jnp.ndarray] = None,
+                                 stride: int = 1, dilation: int = 1,
+                                 groups: int = 1
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming transposed-conv step, reference cache semantics.
+
+    cache holds floor(d*(k-1)/s) input frames; with torch padding
+    p = cache_len*s and output_padding op = s-1+p-d*(k-1) the step emits
+    exactly L*s samples (models/hilcodec/causal_layers.py:168-188).
+    In lax terms that collapses to padding (d*(k-1) - cache_len*s, s-1)
+    on the lhs-dilated conv.
+    """
+    k = w.shape[-1]
+    cache_len = cache.shape[-1]
+    xc = jnp.concatenate([cache, x], axis=-1)
+    new_cache = xc[:, :, xc.shape[-1] - cache_len:]
+    wc = _convt_weight_as_conv(w, groups)
+    rf = dilation * (k - 1)
+    y = lax.conv_general_dilated(
+        xc, wc.astype(xc.dtype), window_strides=(1,),
+        padding=[(rf - cache_len * stride, stride - 1)],
+        lhs_dilation=(stride,), rhs_dilation=(dilation,),
+        dimension_numbers=_DIMS, feature_group_count=groups)
+    if b is not None:
+        y = y + b.astype(y.dtype)[None, :, None]
+    return y, new_cache

