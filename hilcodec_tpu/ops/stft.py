@@ -1,0 +1,166 @@
+"""STFT family ops, TPU-first.
+
+Three variants cover everything the reference uses:
+
+  * `causal_stft_mag`: the codec's SpecBlock transform — magnitude STFT of
+    the *raw waveform*, left-padded by n_fft-1 so each output frame sees only
+    the past (reference models/hilcodec/modules/conv.py:285-358 implements it
+    as a conv with a cos/sin basis for ONNX; here it's framing + one rfft,
+    which XLA maps to MXU-friendly batched FFT/GEMM).
+  * `stft`: loss/discriminator STFT with the reference's conventions
+    (functional/audio_functional.py:158-197): reflect-pad (n_fft-hop)/2 on
+    both sides, center=False, periodic Hann of win_size zero-padded to
+    n_fft, magnitude or complex output.
+  * `istft`: center=True inverse with NOLA window-square normalization.
+
+All functions take [B, T] or [B, 1, T] waveforms and return [B, F, L].
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann, matching torch.hann_window(win_size)."""
+    n = np.arange(win_size)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_size)
+    return jnp.asarray(w, dtype)
+
+
+def _pad_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Center-pad a window to n_fft (torch.stft convention)."""
+    win_size = window.shape[-1]
+    if win_size == n_fft:
+        return window
+    pad = n_fft - win_size
+    return jnp.pad(window, (pad // 2, pad - pad // 2))
+
+
+def frame(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """[..., T] -> [..., L, frame_length] overlapping frames (L static)."""
+    T = x.shape[-1]
+    n_frames = 1 + (T - frame_length) // hop
+    idx = (np.arange(n_frames)[:, None] * hop
+           + np.arange(frame_length)[None, :])
+    return x[..., idx]
+
+
+def _squeeze_wav(x: jnp.ndarray) -> jnp.ndarray:
+    if x.ndim == 3:  # [B, 1, T] -> [B, T]
+        x = x.squeeze(1)
+    return x
+
+
+def causal_stft_mag(x: jnp.ndarray, n_fft: int, hop: int,
+                    win_size: Optional[int] = None,
+                    window: Optional[jnp.ndarray] = None,
+                    pad: bool = True, eps: float = 1e-12) -> jnp.ndarray:
+    """Causal magnitude STFT: left-pad n_fft-1 zeros, frame, window, |rfft|.
+
+    With `pad=True` input [B, T] (T = hop*L) yields [B, n_fft//2+1, L] where
+    frame l sees samples (l*hop - n_fft + 1 .. l*hop]. With `pad=False` the
+    caller supplies the n_fft-1 history itself (streaming mode: T = hop*L +
+    n_fft - 1... i.e. x already contains cache + fresh samples).
+    """
+    x = _squeeze_wav(x)
+    if window is None:
+        window = hann_window(win_size or n_fft, jnp.float32)
+    window = _pad_window(window, n_fft).astype(x.dtype)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (n_fft - 1, 0)))
+    frames = frame(x, n_fft, hop) * window           # [B, L, n_fft]
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    mag = jnp.sqrt(jnp.maximum(spec.real ** 2 + spec.imag ** 2, eps))
+    return mag.astype(x.dtype).swapaxes(-1, -2)      # [B, F, L]
+
+
+def causal_stft_basis(n_fft: int, win_size: Optional[int] = None,
+                      norm: str = "backward") -> np.ndarray:
+    """The [n_fft+2, 1, n_fft] cos/sin conv basis of the reference CausalSTFT
+    (models/hilcodec/modules/conv.py:329-345). Used for the learnable-filter
+    option (`spec_learnable: True`) and for parity tests."""
+    window = np.asarray(hann_window(win_size or n_fft))
+    window = np.pad(window, ((n_fft - window.shape[0]) // 2,
+                             (n_fft - window.shape[0] + 1) // 2))
+    n = np.arange(n_fft)[None, :]
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    ang = -2.0 * np.pi / n_fft * k * n
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=0) * window
+    if norm == "forward":
+        basis /= n_fft
+    elif norm == "ortho":
+        basis /= math.sqrt(n_fft)
+    return basis[:, None, :].astype(np.float32)
+
+
+def causal_stft_mag_learnable(x: jnp.ndarray, weight: jnp.ndarray, hop: int,
+                              pad: bool = True,
+                              eps: float = 1e-12) -> jnp.ndarray:
+    """CausalSTFT with an explicit (possibly learned) conv basis
+    [n_fft+2, 1, n_fft]; mirrors conv.py:348-358."""
+    from .conv import conv1d
+    if x.ndim == 2:
+        x = x[:, None, :]
+    n_fft = weight.shape[-1]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (n_fft - 1, 0)))
+    y = conv1d(x, weight, None, stride=hop)
+    B, C, L = y.shape
+    y = y.reshape(B, 2, C // 2, L)
+    return jnp.sqrt(jnp.maximum(jnp.sum(y * y, axis=1), eps))
+
+
+def stft(x: jnp.ndarray, n_fft: int, hop: int, win_size: int,
+         center: bool = False, magnitude: bool = True) -> jnp.ndarray:
+    """Reference loss-STFT (functional/audio_functional.py:158-197).
+
+    center=False: reflect-pad (n_fft-hop)//2 both sides then frame from 0.
+    Returns [B, F, L] magnitude or [B, F, L, 2] (re, im).
+    """
+    x = _squeeze_wav(x)
+    window = _pad_window(hann_window(win_size, jnp.float32), n_fft)
+    if center:
+        x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    else:
+        p = (n_fft - hop) // 2
+        x = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+    frames = frame(x, n_fft, hop) * window.astype(x.dtype)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    if magnitude:
+        mag = jnp.sqrt(spec.real ** 2 + spec.imag ** 2)
+        return mag.astype(x.dtype).swapaxes(-1, -2)
+    out = jnp.stack([spec.real, spec.imag], axis=-1)   # [B, L, F, 2]
+    return out.astype(x.dtype).swapaxes(1, 2)          # [B, F, L, 2]
+
+
+def istft(spec: jnp.ndarray, n_fft: int, hop: int, win_size: int,
+          center: bool = True) -> jnp.ndarray:
+    """center=True inverse STFT with window-square OLA normalization.
+
+    spec: [B, F, L, 2] (re, im). Returns [B, (L-1)*hop] like torch.istft.
+    """
+    if not center:
+        raise NotImplementedError("use center=True for istft (reference "
+                                  "functional/audio_functional.py:211-213)")
+    window = _pad_window(hann_window(win_size, jnp.float32), n_fft)
+    z = spec[..., 0] + 1j * spec[..., 1]               # [B, F, L]
+    frames = jnp.fft.irfft(z.swapaxes(1, 2), n=n_fft, axis=-1)  # [B, L, n_fft]
+    frames = frames * window
+    B, L, _ = frames.shape
+    out_len = n_fft + hop * (L - 1)
+    # overlap-add via segment sum
+    idx = (np.arange(L)[:, None] * hop + np.arange(n_fft)[None, :]).ravel()
+    sig = jax.vmap(lambda fr: jnp.zeros(out_len).at[idx].add(fr.ravel()))(frames)
+    wsq = jnp.zeros(out_len).at[idx].add(
+        jnp.tile(window ** 2, (L, 1)).ravel())
+    start, end = n_fft // 2, out_len - n_fft // 2
+    sig = sig[:, start:end]
+    wsq = wsq[start:end]
+    return sig / jnp.maximum(wsq, 1e-11)
