@@ -1,0 +1,191 @@
+"""RVQ: golden-codebook parity, EMA training math vs torch-semantics oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hilcodec_tpu.ops import rvq as Q
+from hilcodec_tpu.utils.onnx_reader import load_reference_codebooks
+
+
+@pytest.fixture(scope="module")
+def speech_books(reference_dir):
+    return load_reference_codebooks(
+        os.path.join(reference_dir, "onnx"), "hil_speech", 8)
+
+
+def _numpy_rvq(x, books, n):
+    """Numpy restatement of the ONNX vq graph cascade
+    (streaming.py:51-100): distance with ||x||^2 term, argmax of negation."""
+    B, T, C = x.shape
+    residual = x.reshape(B * T, C).astype(np.float32)
+    out = []
+    for i in range(n):
+        e = books[i]
+        dist = -((residual ** 2).sum(1, keepdims=True)
+                 - 2.0 * residual @ e.T
+                 + (e ** 2).sum(1)[None, :])
+        idx = dist.argmax(-1)
+        out.append(idx.reshape(B, T))
+        residual = residual - e[idx]
+    return np.stack(out)
+
+
+def test_quantize_matches_numpy_reference(speech_books, rng):
+    x = (rng.standard_normal((2, 50, 128)) * 2).astype(np.float32)
+    ref = _numpy_rvq(x, speech_books, 8)
+    out = np.asarray(Q.quantize(jnp.asarray(x), jnp.asarray(speech_books)))
+    match = (ref == out).mean()
+    assert match > 0.999, f"token match rate {match}"
+
+
+def test_quantize_parity_on_golden_latents(speech_books, reference_dir):
+    """Bit-parity vs the numpy restatement of the ONNX vq cascade on
+    realistic latents (the decoded golden token stream). RVQ is greedy, not
+    a projection, so re-quantizing need not reproduce the tokens — but both
+    implementations must agree on the same input."""
+    tok = np.load(os.path.join(reference_dir, "onnx",
+                               "hil_speech_quantized.npy")).astype(np.int32)
+    tok = tok[:, :, :400]
+    books = jnp.asarray(speech_books)
+    latents = np.asarray(Q.dequantize(jnp.asarray(tok), books))
+    ref = _numpy_rvq(latents, speech_books, 8)
+    out = np.asarray(Q.quantize(jnp.asarray(latents), books))
+    match = (ref == out).mean()
+    assert match > 0.999, f"token parity {match}"
+
+
+def test_single_codeword_is_fixed_point(speech_books):
+    """A pure codeword quantizes back to its own index (distance 0 wins,
+    first-index tie-break)."""
+    idx = np.arange(0, 1024, 7, dtype=np.int32)[None, None, :]  # [1,1,147]
+    lat = speech_books[0][idx[0, 0]][None]  # [1, T, 128]
+    books1 = jnp.asarray(speech_books[:1])
+    out = np.asarray(Q.quantize(jnp.asarray(lat), books1, n=1))
+    np.testing.assert_array_equal(out.reshape(1, 1, -1), idx)
+
+
+def test_dequantize_matches_embedding_sum(speech_books, rng):
+    idx = rng.integers(0, 1024, size=(8, 1, 30)).astype(np.int32)
+    ref = np.zeros((1, 30, 128), np.float32)
+    for i in range(8):
+        ref += speech_books[i][idx[i]]
+    out = np.asarray(Q.dequantize(jnp.asarray(idx),
+                                  jnp.asarray(speech_books)))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_dequantize_consistency(speech_books, rng):
+    x = (rng.standard_normal((1, 20, 128)) * 2).astype(np.float32)
+    books = jnp.asarray(speech_books)
+    q, idx = Q.quantize_dequantize(jnp.asarray(x), books)
+    idx2 = Q.quantize(jnp.asarray(x), books)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    np.testing.assert_allclose(
+        np.asarray(q), np.asarray(Q.dequantize(idx, books)), rtol=1e-4,
+        atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# training semantics
+# ---------------------------------------------------------------------------
+
+def _make_rvq(**kw):
+    base = dict(dim=8, codebook_size=16, num_quantizers=3, kmeans_init=False,
+                decay=0.9, ema_num_threshold=0.0, ema_num_initial=1.0,
+                dropout=False)
+    base.update(kw)
+    return Q.ResidualVQ(**base)
+
+
+def test_ema_update_matches_reference_math(rng):
+    """One training step == hand-computed EMA update
+    (vector_quantize.py:133-176 with Laplace smoothing, no expiry)."""
+    rvq = _make_rvq(num_quantizers=1)
+    state = rvq.init_state(jax.random.PRNGKey(0))
+    x = rng.standard_normal((2, 8, 10)).astype(np.float32)  # [B, C, T]
+
+    q, new_state, loss, n_rep, idx = rvq(
+        jnp.asarray(x), state, jax.random.PRNGKey(1), training=True)
+
+    flat = np.moveaxis(x, 1, 2).reshape(-1, 8)
+    e = np.asarray(state["embed"][0])
+    dist = (flat ** 2).sum(1)[:, None] - 2 * flat @ e.T + (e ** 2).sum(1)[None]
+    ref_idx = dist.argmin(-1)
+    np.testing.assert_array_equal(np.asarray(idx[0]).ravel(), ref_idx)
+
+    onehot = np.eye(16, dtype=np.float32)[ref_idx]
+    num_curr = onehot.sum(0)
+    embed_curr = onehot.T @ flat
+    d = 0.9
+    ema_num = np.asarray(state["ema_num"][0]) * d + num_curr * (1 - d)
+    ema_embed = np.asarray(state["ema_embed"][0]) * d + embed_curr * (1 - d)
+    total = ema_num.sum()
+    smoothed = (ema_num + rvq.eps) / (total + 16 * rvq.eps) * total
+    ref_embed = ema_embed / smoothed[:, None]
+
+    np.testing.assert_allclose(np.asarray(new_state["ema_num"][0]), ema_num,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["embed"][0]), ref_embed,
+                               rtol=1e-4, atol=1e-5)
+    # straight-through value equals sum of codewords
+    ref_q = np.asarray(state["embed"][0])[ref_idx].reshape(2, 10, 8)
+    np.testing.assert_allclose(np.asarray(q), np.moveaxis(ref_q, 1, 2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dropout_masks_inactive_stages(rng):
+    rvq = _make_rvq(num_quantizers=4)
+    state = rvq.init_state(jax.random.PRNGKey(0))
+    x = rng.standard_normal((1, 8, 6)).astype(np.float32)
+    q2, st2, _, _, idx2 = rvq(jnp.asarray(x), state, jax.random.PRNGKey(1),
+                              n=jnp.asarray(2), training=True)
+    # stages >= 2: untouched state, zero indices
+    np.testing.assert_array_equal(np.asarray(st2["embed"][2:]),
+                                  np.asarray(state["embed"][2:]))
+    assert np.all(np.asarray(idx2[2:]) == 0)
+    # quantized equals two-stage inference sum
+    q_ref, _ = Q.quantize_dequantize(
+        jnp.asarray(np.moveaxis(x, 1, 2)), state["embed"], n=2)
+    np.testing.assert_allclose(np.asarray(q2), np.moveaxis(
+        np.asarray(q_ref), 1, 2), rtol=1e-4, atol=1e-5)
+
+
+def test_expiry_replaces_dead_codes(rng):
+    rvq = _make_rvq(num_quantizers=1, ema_num_threshold=0.5,
+                    ema_num_initial=0.5, decay=0.1)
+    state = rvq.init_state(jax.random.PRNGKey(0))
+    # huge decay -> ema_num collapses for unused codes in one step
+    x = np.ones((1, 8, 4), np.float32)
+    _, st, _, n_rep, _ = rvq(jnp.asarray(x), state, jax.random.PRNGKey(1),
+                             training=True)
+    assert int(n_rep[0]) > 0
+    assert np.all(np.asarray(st["ema_num"][0]) >= 0.049)
+
+
+def test_kmeans_init(rng):
+    rvq = _make_rvq(kmeans_init=True, num_quantizers=2)
+    state = rvq.init_state(jax.random.PRNGKey(0))
+    assert not bool(state["initted"])
+    x = rng.standard_normal((4, 8, 32)).astype(np.float32)
+    st = rvq.kmeans_init_state(state, jnp.asarray(x), jax.random.PRNGKey(1))
+    assert bool(st["initted"])
+    e = np.asarray(st["embed"])
+    assert np.isfinite(e).all()
+    assert np.abs(e).sum() > 0
+    # codebooks should roughly span the data
+    flat = np.moveaxis(x, 1, 2).reshape(-1, 8)
+    d0 = np.linalg.norm(flat[:, None, :] - e[0][None], axis=-1).min(1).mean()
+    assert d0 < np.linalg.norm(flat, axis=-1).mean()
+
+
+def test_sample_n_from_dropout_index():
+    rvq = _make_rvq(dropout=True, num_quantizers=12,
+                    dropout_index=(2, 4, 8, 12))
+    ns = {int(rvq.sample_n(jax.random.PRNGKey(i))) for i in range(50)}
+    assert ns <= {2, 4, 8, 12}
+    assert len(ns) >= 3
