@@ -1,0 +1,141 @@
+"""Full codec assembly: encoder -> RVQ -> decoder, batch + streaming.
+
+The user-facing API mirrors what the reference spreads over
+models/hilcodec/models.py (training forward), streaming.py (deployment) and
+test_onnx.py (the frame-loop driver): here `forward` is the training graph
+and `encode_stream`/`decode_stream` are jit-once `lax.scan`s over frames
+whose carry is the reference-ordered cache list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rvq as Q
+from .hilcodec import HILCodec
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecModel:
+    """HILCodec + ResidualVQ bundle built from a reference YAML config."""
+    codec: HILCodec
+    vq: Q.ResidualVQ
+
+    @classmethod
+    def from_config(cls, model_kwargs: Dict[str, Any]) -> "CodecModel":
+        vq_kwargs = dict(model_kwargs.get("vq_kwargs", {}))
+        codec = HILCodec.from_config(model_kwargs)
+        vq = Q.ResidualVQ(
+            dim=vq_kwargs.get("dim", 128),
+            codebook_size=vq_kwargs.get("codebook_size", 1024),
+            num_quantizers=vq_kwargs.get("num_quantizers", 8),
+            kmeans_init=vq_kwargs.get("kmeans_init", True),
+            decay=vq_kwargs.get("decay", 0.99),
+            ema_num_threshold=vq_kwargs.get("ema_num_threshold", 0.0),
+            ema_num_initial=vq_kwargs.get("ema_num_initial", 1.0),
+            dropout=vq_kwargs.get("dropout", False),
+            dropout_index=tuple(vq_kwargs["dropout_index"])
+            if vq_kwargs.get("dropout_index") else None,
+            channel_last=False,
+        )
+        return cls(codec, vq)
+
+    @property
+    def hop_length(self) -> int:
+        return self.codec.hop_length
+
+    def init(self, key: jax.Array) -> Tuple[Params, Q.VQState]:
+        k1, k2 = jax.random.split(key)
+        return self.codec.init(k1), self.vq.init_state(k2)
+
+    # -- training graph -----------------------------------------------------
+    def forward(self, params: Params, vq_state: Q.VQState, wav: jnp.ndarray,
+                key: jax.Array, n: Optional[jnp.ndarray] = None,
+                training: bool = True, axis_name: Optional[str] = None
+                ) -> Tuple[jnp.ndarray, Q.VQState, jnp.ndarray, jnp.ndarray]:
+        """wav [B, 1, T] -> (wav_g [B, 1, T], new_vq_state, loss_vq,
+        num_replaces). Matches models.py:111-118."""
+        z = self.codec.encoder.apply(params["encoder"], wav)
+        q, vq_state, loss_vq, num_replaces, _idx = self.vq(
+            z, vq_state, key, n=n, training=training, axis_name=axis_name)
+        wav_g = self.codec.decoder.apply(params["decoder"], q)
+        return wav_g.astype(jnp.float32), vq_state, loss_vq, num_replaces
+
+    # -- offline (whole-utterance) coding -----------------------------------
+    def encode(self, params: Params, vq_state: Q.VQState, wav: jnp.ndarray,
+               n: Optional[int] = None) -> jnp.ndarray:
+        """wav [B, 1, T] -> tokens [n, B, T/hop] (int32)."""
+        z = self.codec.encoder.apply(params["encoder"], wav)
+        return Q.quantize(z.swapaxes(1, 2), vq_state["embed"], n=n)
+
+    def decode(self, params: Params, vq_state: Q.VQState,
+               tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens [n, B, T'] -> wav [B, 1, T'*hop]."""
+        q = Q.dequantize(tokens, vq_state["embed"])
+        return self.codec.decoder.apply(params["decoder"], q.swapaxes(1, 2))
+
+    # -- streaming ----------------------------------------------------------
+    def encode_stream(self, params: Params, vq_state: Q.VQState,
+                      wav: jnp.ndarray, cache: List[jnp.ndarray],
+                      n: Optional[int] = None,
+                      frames_per_step: int = 1
+                      ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """Streaming encode via lax.scan over frame blocks.
+
+        wav [B, 1, T] with T = hop * L, L divisible by frames_per_step.
+        Returns (tokens [n, B, L], new_cache). One compiled program per
+        (B, frames_per_step) shape.
+        """
+        hop = self.hop_length
+        B = wav.shape[0]
+        L = wav.shape[-1] // hop
+        blocks = L // frames_per_step
+        xs = wav.reshape(B, 1, blocks, frames_per_step * hop)
+        xs = jnp.moveaxis(xs, 2, 0)          # [blocks, B, 1, hop*f]
+        books = vq_state["embed"]
+
+        def body(cache, x):
+            z, cache = self.codec.encoder.step(params["encoder"], cache, x)
+            idx = Q.quantize(z.swapaxes(1, 2), books, n=n)
+            return cache, idx
+
+        cache, tokens = jax.lax.scan(body, cache, xs)
+        # tokens: [blocks, n, B, f] -> [n, B, blocks*f]
+        tokens = jnp.moveaxis(tokens, 0, 2).reshape(
+            tokens.shape[1], B, L)
+        return tokens, cache
+
+    def decode_stream(self, params: Params, vq_state: Q.VQState,
+                      tokens: jnp.ndarray, cache: List[jnp.ndarray],
+                      frames_per_step: int = 1
+                      ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """tokens [n, B, L] -> (wav [B, 1, L*hop], new_cache)."""
+        n, B, L = tokens.shape
+        blocks = L // frames_per_step
+        xs = tokens.reshape(n, B, blocks, frames_per_step)
+        xs = jnp.moveaxis(xs, 2, 0)          # [blocks, n, B, f]
+        books = vq_state["embed"]
+
+        def body(cache, idx):
+            q = Q.dequantize(idx, books)
+            y, cache = self.codec.decoder.step(params["decoder"], cache,
+                                               q.swapaxes(1, 2))
+            return cache, y
+
+        cache, wavs = jax.lax.scan(body, cache, xs)
+        # wavs: [blocks, B, 1, f*hop] -> [B, 1, T]
+        wav = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
+        return wav, cache
+
+    def init_cache(self, batch: int, dtype=jnp.float32):
+        return self.codec.init_cache(batch, dtype)
+
+    def fold_params(self, params: Params) -> Params:
+        return self.codec.fold_params(params)

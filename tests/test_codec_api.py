@@ -1,0 +1,90 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hilcodec_tpu.models.codec import CodecModel
+from hilcodec_tpu.utils.hparams import load_config
+
+
+@pytest.fixture(scope="module")
+def model(reference_dir):
+    hp = load_config(os.path.join(reference_dir, "configs",
+                                  "hilcodec_speech.yaml"))
+    return CodecModel.from_config(hp.model_kwargs.to_dict())
+
+
+@pytest.fixture(scope="module")
+def state(model):
+    params, vq_state = model.init(jax.random.PRNGKey(0))
+    # give the codebooks nonzero content (kmeans_init leaves them zero)
+    vq_state = dict(vq_state)
+    vq_state["embed"] = jax.random.normal(
+        jax.random.PRNGKey(1), vq_state["embed"].shape) * 2.0
+    return params, vq_state
+
+
+def test_speech_config_shapes(model):
+    assert model.vq.num_quantizers == 8
+    assert model.vq.dropout_index == (2, 4, 8)
+    assert model.hop_length == 320
+
+
+def test_training_forward(model, state, rng):
+    params, vq_state = state
+    wav = (rng.standard_normal((2, 1, 320 * 8)) * 0.3).astype(np.float32)
+    wav_g, new_vq, loss_vq, n_rep = model.forward(
+        params, vq_state, jnp.asarray(wav), jax.random.PRNGKey(2),
+        n=jnp.asarray(4))
+    assert wav_g.shape == wav.shape
+    assert wav_g.dtype == jnp.float32
+    assert float(loss_vq) >= 0
+    assert n_rep.shape == (8,)
+
+
+def test_offline_roundtrip_shapes(model, state, rng):
+    params, vq_state = state
+    wav = (rng.standard_normal((1, 1, 320 * 16)) * 0.3).astype(np.float32)
+    tok = model.encode(params, vq_state, jnp.asarray(wav), n=4)
+    assert tok.shape == (4, 1, 16)
+    out = model.decode(params, vq_state, tok)
+    assert out.shape == (1, 1, 320 * 16)
+
+
+def test_stream_equals_offline(model, state, rng):
+    """Scan-carried streaming tokens == whole-utterance tokens; streaming
+    decode == offline decode (the property replacing the reference's manual
+    parity notebook, scripts/HILCodec Onnx.ipynb)."""
+    params, vq_state = state
+    L = 12
+    wav = (rng.standard_normal((1, 1, 320 * L)) * 0.3).astype(np.float32)
+
+    tok_off = np.asarray(model.encode(params, vq_state, jnp.asarray(wav)))
+
+    cache_enc, cache_dec = model.init_cache(1)
+    tok_st, _ = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                    cache_enc)
+    tok_st = np.asarray(tok_st)
+    match = (tok_off == tok_st).mean()
+    assert match > 0.99, f"stream/offline token match {match}"
+
+    wav_off = np.asarray(model.decode(params, vq_state, jnp.asarray(tok_st)))
+    wav_st, _ = model.decode_stream(params, vq_state, jnp.asarray(tok_st),
+                                    cache_dec)
+    np.testing.assert_allclose(wav_off, np.asarray(wav_st), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_stream_block_sizes_agree(model, state, rng):
+    params, vq_state = state
+    L = 12
+    wav = (rng.standard_normal((1, 1, 320 * L)) * 0.3).astype(np.float32)
+    cache_enc, _ = model.init_cache(1)
+    t1, _ = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                cache_enc, frames_per_step=1)
+    t4, _ = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                cache_enc, frames_per_step=4)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))

@@ -69,10 +69,11 @@ def test_encoder_batch_stream_equivalence(codec, params, rng):
     assert full.shape == (B, 128, n_frames)
 
     cache = codec.encoder.init_cache(B)
+    step = jax.jit(codec.encoder.step)
     outs = []
     for i in range(n_frames // chunk):
         xi = jnp.asarray(wav[:, :, i * chunk * hop:(i + 1) * chunk * hop])
-        y, cache = codec.encoder.step(params["encoder"], cache, xi)
+        y, cache = step(params["encoder"], cache, xi)
         outs.append(np.asarray(y))
     stream = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(full, stream, rtol=2e-4, atol=2e-4)
@@ -85,10 +86,11 @@ def test_decoder_batch_stream_equivalence(codec, params, rng):
     assert full.shape == (B, 1, n_frames * codec.hop_length)
 
     cache = codec.decoder.init_cache(B)
+    step = jax.jit(codec.decoder.step)
     outs = []
     for i in range(n_frames // chunk):
         zi = jnp.asarray(z[:, :, i * chunk:(i + 1) * chunk])
-        y, cache = codec.decoder.step(params["decoder"], cache, zi)
+        y, cache = step(params["decoder"], cache, zi)
         outs.append(np.asarray(y))
     stream = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(full, stream, rtol=2e-4, atol=2e-4)
@@ -130,10 +132,11 @@ def test_fold_params_preserves_forward(codec, params, rng):
 
     # folded streaming == folded batch
     cache = codec.encoder.init_cache(B)
+    step = jax.jit(codec.encoder.step)
     outs = []
     for i in range(4):
         xi = jnp.asarray(wav[:, :, i * hop:(i + 1) * hop])
-        o, cache = codec.encoder.step(folded["encoder"], cache, xi)
+        o, cache = step(folded["encoder"], cache, xi)
         outs.append(np.asarray(o))
     np.testing.assert_allclose(z_f, np.concatenate(outs, -1), rtol=2e-4,
                                atol=2e-4)
