@@ -26,6 +26,23 @@ from jax import lax
 
 # NCL activations, OIL weights (out, in/groups, k)
 _DIMS = ("NCH", "OIH", "NCH")
+# NCHW activations, OIHW weights — 2-D convs (discriminators)
+_DIMS2D = ("NCHW", "OIHW", "NCHW")
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+           stride: Tuple[int, int] = (1, 1),
+           dilation: Tuple[int, int] = (1, 1),
+           padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0)),
+           groups: int = 1) -> jnp.ndarray:
+    """Plain conv2d. x: [B, Cin, H, W]; w: [Cout, Cin/groups, kh, kw]."""
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=tuple(stride),
+        padding=list(padding), rhs_dilation=tuple(dilation),
+        dimension_numbers=_DIMS2D, feature_group_count=groups)
+    if b is not None:
+        y = y + b.astype(y.dtype)[None, :, None, None]
+    return y
 
 
 def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
