@@ -124,7 +124,8 @@ class STFTDiscriminator:
         # at 0 with no padding (discriminators.py:89-92).
         spec = _stft_nopad(x, self.n_fft, self.hop_length, self.win_length)
         if self.normalized:
-            win = np.asarray(S.hann_window(self.win_length))
+            n = np.arange(self.win_length)
+            win = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / self.win_length)
             spec = spec / math.sqrt(float((win ** 2).sum()))
         if self.magnitude:
             z = jnp.sqrt(spec[..., 0] ** 2 + spec[..., 1] ** 2)

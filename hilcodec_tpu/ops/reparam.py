@@ -93,6 +93,7 @@ def spectral_norm_init(w: jnp.ndarray, key: jax.Array) -> ParamDict:
 
 def spectral_norm_compute(v: jnp.ndarray, u: jnp.ndarray,
                           eps: float = 1e-12) -> jnp.ndarray:
+    u = jax.lax.stop_gradient(u)  # u is a buffer (power-iteration state)
     w2 = v.astype(jnp.float32).reshape(v.shape[0], -1)
     vv = w2.T @ u
     vv = vv / (jnp.linalg.norm(vv) + eps)

@@ -46,6 +46,10 @@ def _pad_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
 def frame(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     """[..., T] -> [..., L, frame_length] overlapping frames (L static)."""
     T = x.shape[-1]
+    if T < frame_length:
+        raise ValueError(
+            f"input length {T} shorter than frame_length {frame_length}; "
+            "use longer segments (reference segment_size is 24000)")
     n_frames = 1 + (T - frame_length) // hop
     idx = (np.arange(n_frames)[:, None] * hop
            + np.arange(frame_length)[None, :])

@@ -1,0 +1,132 @@
+"""End-to-end GAN train step: single-device semantics + 8-way data parallel."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hilcodec_tpu.models.codec import CodecModel
+from hilcodec_tpu.models.discriminators import Discriminators
+from hilcodec_tpu.models.hilcodec import HILCodec
+from hilcodec_tpu.models.losses import MelLoss
+from hilcodec_tpu.ops.rvq import ResidualVQ
+from hilcodec_tpu.train.balancer import Balancer, SimpleBalancer
+from hilcodec_tpu.train.optim import AdamP, make_optimizer
+from hilcodec_tpu.train.schedulers import CosineAnnealingWarmup
+from hilcodec_tpu.train.step import Trainer, make_parallel_train_step
+
+
+def tiny_trainer(axis_name=None):
+    codec = HILCodec(channels_enc=8, channels_dec=8, n_residual_enc=1,
+                     n_residual_dec=1, strides=(4, 2), n_fft_base=16,
+                     vq_dim=16, res_scale_enc=0.577, res_scale_dec=0.577)
+    vq = ResidualVQ(dim=16, codebook_size=32, num_quantizers=3,
+                    kmeans_init=False, decay=0.99, ema_num_threshold=0.5,
+                    ema_num_initial=0.5, dropout=True,
+                    dropout_index=(1, 2, 3))
+    model = CodecModel(codec, vq)
+    disc = Discriminators(
+        mfbd_kwargs={"use": True, "periods": [1, 2], "taps": 16,
+                     "cutoff_freqs": [0.0, 0.25],
+                     "channels": [4, 8], "kernel_sizes": [5, 5],
+                     "strides": [3, 1]},
+        mstftd_kwargs={"use": True, "filters": 4,
+                       "n_ffts": [64], "hop_lengths": [16],
+                       "win_lengths": [64]})
+    mel = MelLoss(24000, n_mels_max=16)
+    balancer = Balancer(weights=(("freq", 0.48), ("mfbd_g", 1.1),
+                                 ("mfbd_fm", 1.1), ("mstftd_g", 1.1),
+                                 ("mstftd_fm", 1.1)),
+                        weight_others=0.01, ema_decay=0.99)
+    opt_g, lr_g = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9],
+                                           "weight_decay": 1e-5})
+    opt_d, lr_d = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9],
+                                           "weight_decay": 1e-5})
+    sched = CosineAnnealingWarmup(warmup_iterations=10, T_max=100,
+                                  eta_min=1e-6)
+    return Trainer(model=model, disc=disc, mel_loss=mel, balancer=balancer,
+                   optim_g=opt_g, optim_d=opt_d, sched_g=sched,
+                   sched_d=sched, lr_g=lr_g, lr_d=lr_d,
+                   axis_name=axis_name)
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return tiny_trainer()
+
+
+def test_train_step_runs_and_updates(trainer, rng):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    step = jax.jit(trainer.train_step)
+    new_state, metrics = step(state, jnp.asarray(wav),
+                              jax.random.PRNGKey(1))
+    assert int(new_state.iteration) == 1
+    assert float(metrics["finite"]) == 1.0
+    for k in ("loss/freq", "loss/mfbd_g", "loss/mstftd_fm", "loss/d",
+              "loss/vq"):
+        assert np.isfinite(float(metrics[k])), k
+    # params actually moved
+    d0 = jax.tree.leaves(state.params_g)[0]
+    d1 = jax.tree.leaves(new_state.params_g)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # EMA norms updated
+    assert float(new_state.balancer["ema_fix"]) > 0
+
+    # second step with same compiled fn
+    state2, m2 = step(new_state, jnp.asarray(wav), jax.random.PRNGKey(2))
+    assert int(state2.iteration) == 2
+
+
+def test_warmup_lr_schedule(trainer, rng):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    step = jax.jit(trainer.train_step)
+    _, m1 = step(state, jnp.asarray(wav), jax.random.PRNGKey(1))
+    # iteration 0 -> lr = base * 1/10
+    np.testing.assert_allclose(float(m1["lr"]), 5e-4 / 10, rtol=1e-5)
+
+
+def test_valid_step(trainer, rng):
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    losses = jax.jit(trainer.valid_step)(state, jnp.asarray(wav),
+                                         jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_parallel_train_step_8dev(rng):
+    """Data-parallel step on the virtual 8-CPU mesh: replicated states stay
+    bit-identical (the reference's end-of-epoch consistency assert,
+    wrapper.py:306-314, holds by construction — verified numerically)."""
+    devs = jax.devices()
+    assert len(devs) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs), ("dp",))
+    trainer = tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((8, 1, hop * 128)) * 0.3).astype(np.float32)
+
+    pstep = make_parallel_train_step(trainer, mesh, "dp")
+    new_state, metrics = pstep(state, jnp.asarray(wav),
+                               jax.random.PRNGKey(1))
+    assert float(metrics["finite"]) == 1.0
+    assert int(new_state.iteration) == 1
+    for k in ("loss/freq", "loss/d"):
+        assert np.isfinite(float(metrics[k]))
+
+    # single-device equivalence on the same total batch: the psum-averaged
+    # grads equal the full-batch grads
+    strainer = tiny_trainer()
+    sstate = strainer.init_state(jax.random.PRNGKey(0))
+    sstep = jax.jit(strainer.train_step)
+    sref, smet = sstep(sstate, jnp.asarray(wav), jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree.leaves(sref.params_g),
+                    jax.tree.leaves(new_state.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)
