@@ -1,0 +1,93 @@
+"""Benchmark: streaming encode+decode real-time factor per TPU chip.
+
+Headline metric (BASELINE.md): aggregate real-time factor for 24 kHz
+frame-by-frame streaming encode+decode — `concurrent_streams x per-stream
+RTF`, i.e. seconds of audio encoded AND decoded per wall-second per chip.
+The reference's deployment does ~1x real-time per CPU core
+(test_onnx.py:41-47); the rebuild target is >=100x per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/hilcodec_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from hilcodec_tpu.models.codec import CodecModel
+    from hilcodec_tpu.models.hilcodec import HILCodec
+    from hilcodec_tpu.ops.rvq import ResidualVQ
+
+    # flagship speech config (hop 320, 8 quantizers)
+    model = CodecModel(
+        HILCodec(res_scale_enc=0.5773502691896258,
+                 res_scale_dec=0.5773502691896258),
+        ResidualVQ(dim=128, codebook_size=1024, num_quantizers=8,
+                   kmeans_init=False))
+    key = jax.random.PRNGKey(0)
+    params, vq_state = model.init(key)
+    vq_state = dict(vq_state)
+    vq_state["embed"] = jax.random.normal(
+        jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
+    # deployment path: folded (weight-norm removed, scalings merged) params
+    params = model.fold_params(params)
+
+    hop = model.hop_length
+    sr = 24000
+    streams = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    frames_per_step = 1          # true 13.33 ms frame-by-frame streaming
+    seconds = 4.0
+    n_frames = int(seconds * sr) // hop
+    n_frames -= n_frames % frames_per_step
+
+    wav = jax.random.normal(jax.random.PRNGKey(2),
+                            (streams, 1, n_frames * hop), jnp.float32) * 0.3
+    cache_enc, cache_dec = model.init_cache(streams)
+
+    @jax.jit
+    def enc_dec(wav, cache_enc, cache_dec):
+        tokens, cache_enc = model.encode_stream(
+            params, vq_state, wav, cache_enc,
+            frames_per_step=frames_per_step)
+        out, cache_dec = model.decode_stream(
+            params, vq_state, tokens, cache_dec,
+            frames_per_step=frames_per_step)
+        return tokens, out, cache_enc, cache_dec
+
+    # compile + warmup
+    tokens, out, ce, cd = enc_dec(wav, cache_enc, cache_dec)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        tokens, out, ce, cd = enc_dec(wav, ce, cd)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    audio_seconds = streams * n_frames * hop / sr
+    rtf = audio_seconds / dt
+
+    print(json.dumps({
+        "metric": "streaming_encdec_rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": f"x_realtime_24khz (streams={streams}, "
+                f"frame={hop} samples)",
+        "vs_baseline": round(rtf / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
