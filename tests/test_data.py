@@ -1,0 +1,116 @@
+import os
+
+import numpy as np
+import pytest
+
+from hilcodec_tpu.data.datasets import (DirectoriesDataset, FilelistDataset,
+                                        RandomGain, collate)
+from hilcodec_tpu.data.loader import DataLoader, get_dataset_dataloader
+from hilcodec_tpu.utils.hparams import HParams
+from hilcodec_tpu.utils.wavio import write_wav
+
+
+@pytest.fixture()
+def wav_tree(tmp_path, rng):
+    """A small on-disk corpus: clean/ (3 wavs), noise/ (2 wavs)."""
+    for sub, n, length in (("clean", 3, 48000), ("noise", 2, 12000)):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(n):
+            x = (rng.standard_normal(length) * 0.1).astype(np.float32)
+            write_wav(str(d / f"{sub}{i}.wav"), x, 24000)
+    return tmp_path
+
+
+def _dirs_hp(root):
+    return HParams(
+        segment_size=24000, sampling_rate=24000, length=16,
+        transforms={"RandomGain": {"low_db": -10, "high_db": 6}},
+        classes={
+            "clean": {"directories_to_include": [str(root / "clean")],
+                      "extension": ".wav", "probability": 0.7,
+                      "mix": {"noise": 0.5}},
+            "noise": {"directories_to_include": [str(root / "noise")],
+                      "extension": ".wav", "probability": 0.3},
+        })
+
+
+def test_directories_dataset(wav_tree):
+    ds = DirectoriesDataset(_dirs_hp(wav_tree), ["wav", "filename"])
+    assert len(ds) == 16
+    item = ds[0]
+    assert item["wav"].shape == (24000,)
+    assert np.abs(item["wav"]).max() <= 1.0
+    assert "clean" in item["filename"] or "noise" in item["filename"]
+
+
+def test_short_file_padding(wav_tree):
+    hp = _dirs_hp(wav_tree)
+    hp.segment_size = 24000  # noise files are 12000 long
+    ds = DirectoriesDataset(hp, ["wav"])
+    # force the noise class
+    wav, _ = ds.load_wav(ds.loaders["noise"], __import__("random").Random(0))
+    assert wav.shape == (24000,)
+
+
+def test_random_gain_range(rng):
+    t = RandomGain(-10, 6)
+    x = np.ones(100, np.float32)
+    gains = [np.abs(t(x, rng)).max() for _ in range(50)]
+    assert min(gains) >= 10 ** (-10 / 20) - 1e-6
+    assert max(gains) <= 10 ** (6 / 20) + 1e-6
+
+
+def test_filelist_dataset_and_shuffle(wav_tree):
+    filelist = wav_tree / "valid.txt"
+    names = [f"clean/clean{i}.wav|" for i in range(3)]
+    filelist.write_text("\n".join(names))
+    hp = HParams(wav_dir=str(wav_tree), sampling_rate=24000,
+                 segment_size=None, extension="",
+                 filelists={"valid": str(filelist)},
+                 filter={}, hop_size=320, normalize_method=None)
+    ds = FilelistDataset(hp, ["wav", "wav_len", "filename"], mode="valid")
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["wav"].shape[-1] % 320 == 0
+
+    before = list(ds.wav_idx)
+    ds.shuffle(seed=3)
+    after1 = list(ds.wav_idx)
+    ds2 = FilelistDataset(hp, ["wav"], mode="valid")
+    ds2.shuffle(seed=3)
+    assert list(ds2.wav_idx) == after1          # deterministic
+    assert sorted(after1) == sorted(before)
+
+
+def test_collate_pads():
+    batch = [{"wav": np.ones(5, np.float32), "wav_len": 5, "filename": "a"},
+             {"wav": np.ones(3, np.float32), "wav_len": 3, "filename": "b"}]
+    out = collate(batch)
+    assert out["wav"].shape == (2, 5)
+    assert out["wav"][1, 3:].sum() == 0
+    assert out["wav_len"].tolist() == [5, 3]
+    assert out["filename"] == ["a", "b"]
+
+
+def test_loader_sharding(wav_tree):
+    ds = DirectoriesDataset(_dirs_hp(wav_tree), ["wav"])
+    loaders = [DataLoader(ds, batch_size=2, num_workers=2, num_shards=4,
+                          shard=s) for s in range(4)]
+    counts = [sum(b["wav"].shape[0] for b in l) for l in loaders]
+    assert counts == [4, 4, 4, 4]
+    for l in loaders:
+        for b in l:
+            assert b["wav"].shape == (2, 24000)
+
+
+def test_factory_from_config(wav_tree):
+    hps = HParams(
+        data=_dirs_hp(wav_tree).to_dict()
+        | {"dataset": {"train": "DirectoriesDataset"}},
+        train={"batch_size": 2, "num_workers": 1, "seed": 1})
+    ds, loader = get_dataset_dataloader(hps, "train", ["wav"], num_shards=2,
+                                        shard=0)
+    assert len(loader) == 4  # 16 items / 2 shards / batch 2
+    batch = next(iter(loader))
+    assert batch["wav"].shape == (2, 24000)
