@@ -1,0 +1,251 @@
+"""Objective quality metrics: PESQ / STOI / ViSQOL pipeline.
+
+Reference: models/hilcodec/metrics.py (GPU resample -> numpy ->
+ProcessPoolExecutor fan-out; STOI inline due to a hang bug; world-strided
+file indexing; reduce-to-0 of means; best-tracking) and
+utils/{measure_visqol,visqol_cli}.py (subprocess binding to the bazel
+ViSQOL binary).
+
+Backends:
+  * STOI — implemented here in pure numpy (no pystoi dependency).
+  * PESQ — uses the `pesq` package when importable, else gated off.
+  * ViSQOL — subprocess binding, gated on binary presence.
+The shipped configs disable all of them (hilcodec_music.yaml:174-178);
+the pipeline stays faithful with whatever backends are available.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import subprocess
+import tempfile
+from concurrent.futures import ProcessPoolExecutor, as_completed
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy.signal import resample_poly
+
+
+# ---------------------------------------------------------------------------
+# STOI (Taal et al. 2011) — pure numpy
+# ---------------------------------------------------------------------------
+
+def _thirdoct(fs: int, n_fft: int, num_bands: int, min_freq: float
+              ) -> np.ndarray:
+    """One-third octave band matrix [num_bands, n_fft//2+1]."""
+    f = np.linspace(0, fs, n_fft + 1)[: n_fft // 2 + 1]
+    k = np.arange(num_bands)
+    cf = 2.0 ** (k / 3.0) * min_freq
+    lo = 2.0 ** ((2 * k - 1) / 6.0) * min_freq
+    hi = 2.0 ** ((2 * k + 1) / 6.0) * min_freq
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        lo_idx = np.argmin((f - lo[i]) ** 2)
+        hi_idx = np.argmin((f - hi[i]) ** 2)
+        obm[i, lo_idx:hi_idx] = 1.0
+    return obm
+
+
+def _stft_frames(x: np.ndarray, frame: int, hop: int,
+                 n_fft: int) -> np.ndarray:
+    w = np.hanning(frame + 2)[1:-1]
+    n = 1 + (len(x) - frame) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    return np.fft.rfft(x[idx] * w, n_fft, axis=-1)
+
+
+def stoi(clean: np.ndarray, processed: np.ndarray, fs: int = 10000,
+         extended: bool = False) -> float:
+    """Short-time objective intelligibility, 10 kHz protocol."""
+    if fs != 10000:
+        g = math.gcd(fs, 10000)
+        clean = resample_poly(clean, 10000 // g, fs // g)
+        processed = resample_poly(processed, 10000 // g, fs // g)
+        fs = 10000
+    frame, hop, n_fft, num_bands, min_freq = 256, 128, 512, 15, 150.0
+    N, beta, dyn_range = 30, -15.0, 40.0
+
+    m = min(len(clean), len(processed))
+    clean, processed = clean[:m], processed[:m]
+
+    # remove silent frames (energy 40 dB below the loudest frame)
+    w = np.hanning(frame + 2)[1:-1]
+    n = 1 + (m - frame) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    frames_c = clean[idx] * w
+    energies = 20 * np.log10(np.linalg.norm(frames_c, axis=1) + 1e-12)
+    mask = energies > energies.max() - dyn_range
+    if mask.sum() < N:
+        return float("nan")
+    frames_p = processed[idx] * w
+    clean = _overlap_add(frames_c[mask], hop)
+    processed = _overlap_add(frames_p[mask], hop)
+
+    X = np.abs(_stft_frames(clean, frame, hop, n_fft))
+    Y = np.abs(_stft_frames(processed, frame, hop, n_fft))
+    obm = _thirdoct(fs, n_fft, num_bands, min_freq)
+    Xb = np.sqrt(obm @ (X.T ** 2))       # [bands, frames]
+    Yb = np.sqrt(obm @ (Y.T ** 2))
+
+    vals = []
+    for mf in range(N, Xb.shape[1] + 1):
+        xs = Xb[:, mf - N:mf]
+        ys = Yb[:, mf - N:mf]
+        if extended:
+            xn = (xs - xs.mean(1, keepdims=True)) / \
+                (np.linalg.norm(xs - xs.mean(1, keepdims=True), axis=1,
+                                keepdims=True) + 1e-12)
+            yn = (ys - ys.mean(1, keepdims=True)) / \
+                (np.linalg.norm(ys - ys.mean(1, keepdims=True), axis=1,
+                                keepdims=True) + 1e-12)
+            vals.append(np.sum(xn * yn) / num_bands)
+        else:
+            alpha = np.linalg.norm(xs, axis=1, keepdims=True) / \
+                (np.linalg.norm(ys, axis=1, keepdims=True) + 1e-12)
+            ys_a = ys * alpha
+            clip = xs * (1 + 10 ** (-beta / 20.0))
+            ys_a = np.minimum(ys_a, clip)
+            xm = xs - xs.mean(1, keepdims=True)
+            ym = ys_a - ys_a.mean(1, keepdims=True)
+            d = np.sum(xm * ym, axis=1) / (
+                np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
+                + 1e-12)
+            vals.append(d.mean())
+    return float(np.mean(vals))
+
+
+def _overlap_add(frames: np.ndarray, hop: int) -> np.ndarray:
+    n, frame = frames.shape
+    out = np.zeros(frame + (n - 1) * hop)
+    for i in range(n):
+        out[i * hop:i * hop + frame] += frames[i]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# optional backends
+# ---------------------------------------------------------------------------
+
+def _pesq_backend(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
+    from pesq import pesq as _pesq  # gated: package may be absent
+    return float(_pesq(16000, ref, deg, "wb"))
+
+
+def measure_visqol(ref: np.ndarray, deg: np.ndarray, sr: int,
+                   mode: str = "speech",
+                   binary: Optional[str] = None) -> float:
+    """Subprocess binding to the bazel ViSQOL binary
+    (utils/visqol_cli.py:30-36)."""
+    from ..utils.wavio import write_wav
+    binary = binary or os.environ.get("VISQOL_BIN", "visqol")
+    with tempfile.TemporaryDirectory() as d:
+        rp, dp = os.path.join(d, "ref.wav"), os.path.join(d, "deg.wav")
+        write_wav(rp, ref, sr)
+        write_wav(dp, deg, sr)
+        args = [binary, "--reference_file", rp, "--degraded_file", dp]
+        if mode == "speech":
+            args += ["--use_speech_mode"]
+        out = subprocess.run(args, capture_output=True, text=True,
+                             timeout=300)
+        for line in out.stdout.splitlines():
+            if "MOS-LQO" in line:
+                return float(line.split(":")[-1])
+    raise RuntimeError("visqol produced no MOS-LQO")
+
+
+# ---------------------------------------------------------------------------
+# the training-time pipeline
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_RATES = {"pesq": 16000, "stoi": 10000, "visqol": 16000,
+                   "visqol_audio": 48000}
+
+
+class Metrics:
+    """initialize/submit/retrieve protocol (metrics.py:24-149).
+
+    submit() resamples on host and fans PESQ/ViSQOL out to a process pool
+    (they crash/hang the trainer in-process — metrics.py:53-55 keeps STOI
+    inline for the same reason, reproduced here); retrieve() aggregates
+    means across hosts and tracks bests.
+    """
+
+    def __init__(self, metrics_to_calculate: Dict[str, bool],
+                 sampling_rate: int = 24000, num_workers: int = 4,
+                 world_size: int = 1, rank: int = 0):
+        self.enabled = {k for k, v in metrics_to_calculate.items() if v}
+        self.sampling_rate = sampling_rate
+        self.world_size = world_size
+        self.rank = rank
+        self.num_workers = num_workers
+        self.best: Dict[str, float] = {}
+        self._futures: List[Tuple[str, Any]] = []
+        self._inline: Dict[str, List[float]] = {}
+        self._executor: Optional[ProcessPoolExecutor] = None
+        self._index = 0
+
+    def initialize(self) -> None:
+        self._futures = []
+        self._inline = {k: [] for k in self.enabled}
+        self._index = 0
+        if (self.enabled - {"stoi"}) and self._executor is None:
+            self._executor = ProcessPoolExecutor(self.num_workers)
+
+    def submit(self, wav_r: np.ndarray, wav_g: np.ndarray) -> None:
+        """wav_r/wav_g: [B, T] float32 batches (already on host)."""
+        for b in range(wav_r.shape[0]):
+            # world-size-strided indexing (metrics.py:87): each rank only
+            # measures its own shard
+            if self._index % self.world_size != self.rank:
+                self._index += 1
+                continue
+            self._index += 1
+            r, g = wav_r[b], wav_g[b]
+            for name in self.enabled:
+                sr_t = _RESAMPLE_RATES[name]
+                gcd = math.gcd(self.sampling_rate, sr_t)
+                r_t = resample_poly(r, sr_t // gcd,
+                                    self.sampling_rate // gcd)
+                g_t = resample_poly(g, sr_t // gcd,
+                                    self.sampling_rate // gcd)
+                if name == "stoi":      # inline (hang-bug workaround)
+                    self._inline["stoi"].append(stoi(r_t, g_t, sr_t))
+                elif name == "pesq":
+                    self._futures.append(("pesq", self._executor.submit(
+                        _pesq_backend, r_t, g_t, sr_t)))
+                elif name in ("visqol", "visqol_audio"):
+                    mode = "speech" if name == "visqol" else "audio"
+                    self._futures.append((name, self._executor.submit(
+                        measure_visqol, r_t, g_t, sr_t, mode)))
+
+    def retrieve(self, reduce_fn=None) -> Dict[str, float]:
+        """Means per metric; cross-host reduction via `reduce_fn` (e.g.
+        multihost allgather+mean); best tracking (metrics.py:112-162)."""
+        sums: Dict[str, List[float]] = {k: list(v)
+                                        for k, v in self._inline.items()}
+        for name, fut in self._futures:
+            try:
+                sums.setdefault(name, []).append(fut.result(timeout=600))
+            except Exception:
+                continue
+        out = {}
+        for name, vals in sums.items():
+            vals = [v for v in vals if np.isfinite(v)]
+            if not vals:
+                continue
+            mean = float(np.mean(vals))
+            if reduce_fn is not None:
+                mean = reduce_fn(mean, len(vals))
+            out[name] = mean
+            if name not in self.best or mean > self.best[name]:
+                self.best[name] = mean
+        self._futures = []
+        self._inline = {}
+        return out
+
+    def state_dict(self) -> Dict[str, float]:
+        return dict(self.best)
+
+    def load_state_dict(self, state: Dict[str, float]) -> None:
+        self.best = dict(state)

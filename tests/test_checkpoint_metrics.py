@@ -1,0 +1,92 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hilcodec_tpu.train.grad_clip import (clip_grad_norm_global,
+                                          clip_grad_norm_local,
+                                          clip_grad_value, make_clipper)
+from hilcodec_tpu.train.metrics import Metrics, stoi
+from hilcodec_tpu.utils.checkpoint import (clean_checkpoints,
+                                           latest_checkpoint,
+                                           load_checkpoint, save_checkpoint)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"a": jnp.arange(6).reshape(2, 3).astype(jnp.float32),
+             "b": [jnp.zeros(4), {"c": jnp.ones(2)}],
+             "n": jnp.asarray(3)}
+    p = save_checkpoint(str(tmp_path), 7, state, extra={"epoch": 7})
+    assert latest_checkpoint(str(tmp_path)) == (7, p)
+
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored, extras = load_checkpoint(p, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(extras["epoch"]) == 7
+
+
+def test_latest_and_gc(tmp_path):
+    s = {"x": jnp.zeros(2)}
+    for ep in (1, 3, 2):
+        save_checkpoint(str(tmp_path), ep, s)
+    ep, path = latest_checkpoint(str(tmp_path))
+    assert ep == 3
+    removed = clean_checkpoints(str(tmp_path))
+    assert len(removed) == 2
+    assert latest_checkpoint(str(tmp_path))[0] == 3
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    p = save_checkpoint(str(tmp_path), 1, {"x": jnp.zeros(3)})
+    with pytest.raises(ValueError):
+        load_checkpoint(p, {"x": jnp.zeros(4)})
+
+
+def test_stoi_identity_and_noise(rng):
+    sr = 10000
+    t = np.arange(sr * 2) / sr
+    clean = (np.sin(2 * np.pi * 440 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    s_same = stoi(clean, clean, sr)
+    assert s_same > 0.99
+    noisy = clean + rng.standard_normal(len(clean)).astype(np.float32) * 0.5
+    s_noisy = stoi(clean, noisy, sr)
+    assert s_noisy < s_same
+    garbage = rng.standard_normal(len(clean)).astype(np.float32)
+    s_garbage = stoi(clean, garbage, sr)
+    assert s_garbage < s_noisy
+
+
+def test_metrics_pipeline_stoi_only(rng):
+    m = Metrics({"stoi": True, "pesq": False, "visqol": False},
+                sampling_rate=24000)
+    m.initialize()
+    t = np.arange(48000) / 24000
+    clean = np.sin(2 * np.pi * 300 * t).astype(np.float32)[None]
+    noisy = clean + 0.1 * rng.standard_normal(clean.shape).astype(np.float32)
+    m.submit(clean, noisy)
+    out = m.retrieve()
+    assert "stoi" in out and 0 < out["stoi"] <= 1.0
+    assert m.best["stoi"] == out["stoi"]
+
+
+def test_grad_clip_variants():
+    g = {"a": jnp.full((4,), 3.0), "b": jnp.full((2, 2), -4.0)}
+    clipped = clip_grad_norm_global(g, 1.0)
+    total = np.sqrt(sum(float(jnp.sum(x ** 2))
+                        for x in jax.tree.leaves(clipped)))
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+
+    local = clip_grad_norm_local(g, 1.0)
+    for leaf in jax.tree.leaves(local):
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(leaf.ravel())), 1.0, rtol=1e-4)
+
+    v = clip_grad_value(g, 0.5)
+    assert float(jnp.max(jnp.abs(v["b"]))) == 0.5
+
+    assert make_clipper(None)(g) is g
