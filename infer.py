@@ -1,0 +1,106 @@
+"""Streaming inference driver: the test_onnx.py equivalent.
+
+Frame-by-frame (hop-sized) streaming encode/decode of a wav file through the
+jit-compiled scan path, reporting per-side real-time factors and writing the
+token stream (int16 [n_q, B, T], like onnx/hil_speech_quantized.npy) and the
+reconstructed waveform.
+
+Usage:
+  python infer.py -c CONFIG -i input.wav [-o out_prefix] [--ckpt PATH]
+                  [-n NUM_QUANTIZERS] [-f FRAMES_PER_STEP]
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="streamed")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("-n", "--num_quantizers", type=int, default=None)
+    p.add_argument("-f", "--frames_per_step", type=int, default=1,
+                   help="frames per streaming step (latency granularity)")
+    ns = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hilcodec_tpu.models.registry import build_model
+    from hilcodec_tpu.utils.hparams import load_config
+    from hilcodec_tpu.utils.wavio import read_wav, write_wav
+
+    hps = load_config(ns.config)
+    model = build_model(hps.get("model", "hilcodec"),
+                        hps.model_kwargs.to_dict())
+    sr = hps.data.sampling_rate
+
+    key = jax.random.PRNGKey(0)
+    params, vq_state = model.init(key)
+    vq_state = dict(vq_state)
+    if ns.ckpt:
+        from hilcodec_tpu.utils.checkpoint import load_checkpoint
+        from hilcodec_tpu.train.loop import build_trainer
+        trainer = build_trainer(hps)
+        state, _ = load_checkpoint(ns.ckpt,
+                                   trainer.init_state(jax.random.PRNGKey(0)))
+        params, vq_state = state.params_g, dict(state.vq_state)
+    else:
+        vq_state["embed"] = jax.random.normal(
+            jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
+    if hasattr(model, "fold_params"):
+        params = model.fold_params(params)
+
+    wav, in_sr = read_wav(ns.input)
+    assert in_sr == sr, f"expected {sr} Hz input, got {in_sr}"
+    hop = model.hop_length
+    L = len(wav) // hop
+    wav = wav[: L * hop][None, None, :]
+
+    cache_enc, cache_dec = model.init_cache(1)
+    n = ns.num_quantizers
+
+    @jax.jit
+    def encode(wav, cache):
+        return model.encode_stream(params, vq_state, wav, cache, n=n,
+                                   frames_per_step=ns.frames_per_step)
+
+    @jax.jit
+    def decode(tokens, cache):
+        return model.decode_stream(params, vq_state, tokens, cache,
+                                   frames_per_step=ns.frames_per_step)
+
+    # compile
+    tokens, _ = encode(jnp.asarray(wav), cache_enc)
+    out, _ = decode(tokens, cache_dec)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    tokens, _ = encode(jnp.asarray(wav), cache_enc)
+    tokens.block_until_ready()
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out, _ = decode(tokens, cache_dec)
+    jax.block_until_ready(out)
+    t_dec = time.perf_counter() - t0
+
+    seconds = L * hop / sr
+    print(f"encoder RTF: {seconds / t_enc:8.2f}x realtime "
+          f"({t_enc * 1000:.1f} ms for {seconds:.2f} s)")
+    print(f"decoder RTF: {seconds / t_dec:8.2f}x realtime "
+          f"({t_dec * 1000:.1f} ms)")
+
+    np.save(f"{ns.output}_quantized.npy",
+            np.asarray(tokens).astype(np.int16))
+    write_wav(f"{ns.output}_output.wav", np.asarray(out)[0, 0], sr)
+    print(f"wrote {ns.output}_quantized.npy "
+          f"{tuple(np.asarray(tokens).shape)} and {ns.output}_output.wav")
+
+
+if __name__ == "__main__":
+    main()
