@@ -46,7 +46,7 @@ def main():
 
     hop = model.hop_length
     sr = 24000
-    streams = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    streams = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     frames_per_step = 1          # true 13.33 ms frame-by-frame streaming
     seconds = 4.0
     n_frames = int(seconds * sr) // hop

@@ -1,0 +1,141 @@
+"""Avocodo GAN train step: simple weighted-sum balancer, multi-scale targets.
+
+Reference: models/avocodo/wrapper.py:215-280 — the discriminator is updated
+BEFORE the generator from the same forward's logits (retain_graph), losses
+are combined by a plain weighted sum (balancer.py:46-54), the generator
+output list is trained against PQMF-decomposed real targets, and
+discriminators run in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import losses as Lo
+from ..models.avocodo import (AvocodoDiscriminators, AvocodoModel,
+                              pqmf_targets)
+from ..ops.rvq import ResidualVQ
+from .balancer import SimpleBalancer
+
+
+class AvocodoTrainState(NamedTuple):
+    params_g: Any
+    params_d: Any
+    vq_state: Any
+    opt_g: Any
+    opt_d: Any
+    iteration: jnp.ndarray
+    epoch: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class AvocodoTrainer:
+    model: AvocodoModel
+    vq: ResidualVQ
+    disc: AvocodoDiscriminators
+    mel_loss: Any
+    balancer: SimpleBalancer
+    optim_g: Any
+    optim_d: Any
+    sched_g: Any
+    sched_d: Any
+    lr_g: float
+    lr_d: float
+    pqmf_config: Dict[str, Tuple]
+    use_lsgan: bool = True          # the shipped avocodo config follows
+    use_normalized_fm: bool = False  # the original paper
+    axis_name: Optional[str] = None
+
+    def init_state(self, key: jax.Array) -> AvocodoTrainState:
+        k1, k2, k3 = jax.random.split(key, 3)
+        params_g = self.model.init(k1)
+        params_d = self.disc.init(k2)
+        return AvocodoTrainState(
+            params_g=params_g, params_d=params_d,
+            vq_state=self.vq.init_state(k3),
+            opt_g=self.optim_g.init(params_g),
+            opt_d=self.optim_d.init(params_d),
+            iteration=jnp.zeros((), jnp.int32),
+            epoch=jnp.zeros((), jnp.int32))
+
+    def _forward(self, params_g, vq_state, wav, key, n):
+        z = self.model.encoder.apply(params_g["encoder"], wav)
+        q, vq_state, loss_vq, n_rep, _ = self.vq(
+            z, vq_state, key, n=n, training=True, axis_name=self.axis_name)
+        ys = self.model.decoder.apply(params_g["decoder"], q,
+                                      return_list=True)
+        return ys, vq_state, loss_vq, n_rep
+
+    def train_step(self, state: AvocodoTrainState, wav_r: jnp.ndarray,
+                   key: jax.Array):
+        axis = self.axis_name
+        k_drop, k_vq = jax.random.split(
+            jax.random.fold_in(key, state.iteration))
+        n = self.vq.sample_n(k_drop)
+        ys_r = pqmf_targets(wav_r, self.pqmf_config)
+
+        g_loss_fn = (Lo.generator_loss_lsgan if self.use_lsgan
+                     else Lo.generator_loss)
+        fm_loss_fn = (Lo.feature_loss_normalized if self.use_normalized_fm
+                      else Lo.feature_loss)
+        d_loss_fn = (Lo.discriminator_loss_lsgan if self.use_lsgan
+                     else Lo.discriminator_loss)
+
+        # generator forward once (shared by both updates)
+        ys_g, new_vq_state, loss_vq, n_rep = self._forward(
+            state.params_g, state.vq_state, wav_r, k_vq, n)
+        ys_g_sg = jax.lax.stop_gradient(ys_g)
+
+        # -- discriminator update (first, wrapper.py:243-250) --------------
+        def d_fn(params_d):
+            lg, _ = self.disc.apply(params_d, ys_g_sg)
+            lr, _ = self.disc.apply(params_d, ys_r)
+            return d_loss_fn(lg, lr)
+
+        d_loss, d_grads = jax.value_and_grad(d_fn)(state.params_d)
+        if axis is not None:
+            d_grads = jax.lax.pmean(d_grads, axis)
+        lr_d = self.sched_d(self.lr_d, state.iteration, state.epoch)
+        upd_d, new_opt_d = self.optim_d.update(d_grads, state.opt_d,
+                                               state.params_d, lr_d)
+        params_d = jax.tree.map(lambda p, u: p + u, state.params_d, upd_d)
+
+        # -- generator update (old disc params: same logits as D saw) ------
+        params_d_sg = jax.lax.stop_gradient(state.params_d)
+        _, fmaps_r = self.disc.apply(params_d_sg, ys_r)
+        fmaps_r = jax.lax.stop_gradient(fmaps_r)
+
+        def g_fn(params_g):
+            ys, vq_state2, loss_vq2, _ = self._forward(
+                params_g, state.vq_state, wav_r, k_vq, n)
+            lg, fg = self.disc.apply(params_d_sg, ys)
+            losses = dict(self.mel_loss(ys[-1], wav_r))
+            losses.update(g_loss_fn(lg))
+            losses.update(fm_loss_fn(fg, fmaps_r))
+            total = self.balancer.total(losses, loss_vq2)
+            return total, losses
+
+        (g_total, losses), g_grads = jax.value_and_grad(
+            g_fn, has_aux=True)(state.params_g)
+        if axis is not None:
+            g_grads = jax.lax.pmean(g_grads, axis)
+        lr_g = self.sched_g(self.lr_g, state.iteration, state.epoch)
+        upd_g, new_opt_g = self.optim_g.update(g_grads, state.opt_g,
+                                               state.params_g, lr_g)
+        params_g = jax.tree.map(lambda p, u: p + u, state.params_g, upd_g)
+
+        new_state = AvocodoTrainState(
+            params_g=params_g, params_d=params_d, vq_state=new_vq_state,
+            opt_g=new_opt_g, opt_d=new_opt_d,
+            iteration=state.iteration + 1, epoch=state.epoch)
+        metrics = {f"loss/{k}": v for k, v in losses.items()}
+        metrics["loss/d"] = d_loss
+        metrics["loss/vq"] = loss_vq
+        metrics["loss/g_total"] = g_total
+        metrics["lr"] = lr_g
+        metrics["num_replaces"] = n_rep
+        return new_state, metrics

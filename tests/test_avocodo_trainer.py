@@ -1,0 +1,60 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hilcodec_tpu.models.avocodo import AvocodoDiscriminators, AvocodoModel
+from hilcodec_tpu.models.losses import MelLoss
+from hilcodec_tpu.ops.rvq import ResidualVQ
+from hilcodec_tpu.train.balancer import SimpleBalancer
+from hilcodec_tpu.train.optim import make_optimizer
+from hilcodec_tpu.train.schedulers import EmptyScheduler
+from hilcodec_tpu.train.step_avocodo import AvocodoTrainer
+
+
+def test_avocodo_train_step(rng):
+    # strides chosen so the 3 decoder heads land on 1/8, 1/2, full rate
+    # (matching the PQMF lv2/lv1 target ladder like the shipped [8,5,4,2])
+    model = AvocodoModel(channels_enc=8, channels_dec=8, n_fft_base=16,
+                         n_residual_enc=1, n_residual_dec=1,
+                         strides=(4, 2, 4, 2), vq_dim=16,
+                         res_scale_enc=0.577, res_scale_dec=0.577)
+    vq = ResidualVQ(dim=16, codebook_size=32, num_quantizers=2,
+                    kmeans_init=False)
+    disc = AvocodoDiscriminators(
+        combd_kwargs={"use": True, "h": {
+            "combd_h_u": [[4, 8], [4, 8], [4, 8]],
+            "combd_d_k": [[7, 5], [11, 5], [15, 5]],
+            "combd_d_s": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_d": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_g": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_p": [[3, 2], [5, 2], [7, 2]],
+            "combd_op_f": [1, 1, 1], "combd_op_k": [3, 3, 3],
+            "combd_op_g": [1, 1, 1],
+            "pqmf_config": {"lv1": [2, 256, 0.25, 10.0],
+                            "lv2": [8, 256, 0.067, 10.0]}}})
+    opt_g, lr = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9]})
+    opt_d, _ = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9]})
+    trainer = AvocodoTrainer(
+        model=model, vq=vq, disc=disc, mel_loss=MelLoss(24000, n_mels_max=8),
+        balancer=SimpleBalancer.from_config(
+            {"weights": {"freq": 45, "combd_g": 1.0, "combd_fm": 2.0},
+             "weight_others": 0.01}),
+        optim_g=opt_g, optim_d=opt_d, sched_g=EmptyScheduler(),
+        sched_d=EmptyScheduler(), lr_g=lr, lr_d=lr,
+        pqmf_config={"lv1": (2, 256, 0.25, 10.0),
+                     "lv2": (8, 256, 0.067, 10.0)})
+
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 32)) * 0.3).astype(np.float32)
+    step = jax.jit(trainer.train_step)
+    new_state, m = step(state, jnp.asarray(wav), jax.random.PRNGKey(1))
+    assert int(new_state.iteration) == 1
+    for k in ("loss/freq", "loss/combd_g", "loss/combd_fm", "loss/d",
+              "loss/vq"):
+        assert np.isfinite(float(m[k])), k
+    a = jax.tree.leaves(state.params_g)[0]
+    b = jax.tree.leaves(new_state.params_g)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
