@@ -123,8 +123,10 @@ class CodecModel:
         xs = jnp.moveaxis(xs, 2, 0)          # [blocks, n, B, f]
         books = vq_state["embed"]
 
+        dtype = cache[0].dtype if cache else jnp.float32
+
         def body(cache, idx):
-            q = Q.dequantize(idx, books)
+            q = Q.dequantize(idx, books).astype(dtype)
             y, cache = self.codec.decoder.step(params["decoder"], cache,
                                                q.swapaxes(1, 2))
             return cache, y
