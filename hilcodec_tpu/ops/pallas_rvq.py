@@ -1,0 +1,91 @@
+"""Pallas TPU kernel: fused residual vector quantization.
+
+Replaces the reference's 8-12 sequential VQ ONNX graphs (SURVEY.md §2.12 /
+§7.1) with ONE kernel that keeps the residual in VMEM across all stages:
+
+  per stage k (unrolled):
+    dist   = ||r||^2 - 2 r @ E_k^T + ||E_k||^2     (MXU matmul)
+    idx    = argmin(dist)                          (first-index tie-break)
+    onehot = (lane == idx)                         (VPU compare)
+    q      = onehot @ E_k                          (MXU matmul — gather-free)
+    r     -= q
+
+Block over the flattened token axis; codebooks stay resident in VMEM
+(n_q * K * C * 4 B = 8 * 1024 * 128 * 4 = 4 MB for the speech config).
+Falls back to the lax.scan path (ops/rvq.py) on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rvq as _rvq
+
+
+def _rvq_kernel(x_ref, books_ref, idx_ref, *, n_q: int, codebook_size: int):
+    r = x_ref[:].astype(jnp.float32)                        # [TM, C]
+    lanes = jax.lax.broadcasted_iota(jnp.int32,
+                                     (1, codebook_size), 1)  # [1, K]
+    for k in range(n_q):
+        e = books_ref[k].astype(jnp.float32)                # [K, C]
+        # distance with the ||r||^2 term (streaming.py:57-64 semantics)
+        dist = (jnp.sum(r * r, axis=1, keepdims=True)
+                - 2.0 * jnp.dot(r, e.T,
+                                preferred_element_type=jnp.float32)
+                + jnp.sum(e * e, axis=1)[None, :])          # [TM, K]
+        idx = jnp.argmin(dist, axis=1).astype(jnp.int32)    # [TM]
+        idx_ref[k, :] = idx
+        onehot = (lanes == idx[:, None]).astype(jnp.float32)
+        q = jnp.dot(onehot, e, preferred_element_type=jnp.float32)
+        r = r - q
+
+
+@functools.partial(jax.jit, static_argnames=("n", "block_m"))
+def quantize_pallas(x: jnp.ndarray, codebooks: jnp.ndarray,
+                    n: Optional[int] = None,
+                    block_m: int = 512) -> jnp.ndarray:
+    """x: [B, T, C]; codebooks: [n_q, K, C] -> indices [n, B, T] (int32).
+
+    Drop-in replacement for ops.rvq.quantize on TPU.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_q_total, K, C = codebooks.shape
+    n_q = n_q_total if n is None else n
+    B, T, _ = x.shape
+    M = B * T
+    flat = x.reshape(M, C)
+    pad = (-M) % block_m
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    Mp = flat.shape[0]
+
+    kernel = functools.partial(_rvq_kernel, n_q=n_q, codebook_size=K)
+    idx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_q, Mp), jnp.int32),
+        grid=(Mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, K, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_q, block_m), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(flat, codebooks[:n_q])
+    return idx[:, :M].reshape(n_q, B, T)
+
+
+def quantize(x: jnp.ndarray, codebooks: jnp.ndarray,
+             n: Optional[int] = None) -> jnp.ndarray:
+    """Pallas on TPU, lax.scan elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return quantize_pallas(x, codebooks, n)
+    return _rvq.quantize(x, codebooks, n)
