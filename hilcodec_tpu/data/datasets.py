@@ -322,6 +322,90 @@ class PreprocessedDataset(FilelistDataset):
         return data
 
 
+class PairedCleanNoisyDataset:
+    """DNS3Dataset equivalent (audio.py:411-508): paired clean/noisy wavs
+    with aligned random segments (same start index in both files)."""
+
+    def __init__(self, hp, keys: Sequence[str] = ("clean", "noisy"),
+                 mode: str = "train", batch_size: int = 1,
+                 verbose: bool = True):
+        self.hp = hp
+        self.keys = list(keys)
+        self.clean_dir = hp.clean_dir
+        self.noisy_dir = hp.noisy_dir
+        self.segment_size = (None if mode == "infer"
+                             else getattr(hp, "segment_size", None))
+        with open(hp.filelists[mode]) as f:
+            self.files = [l.strip() for l in f if l.strip()]
+
+    def shuffle(self, seed: int) -> None:
+        rng = random.Random(seed)
+        rng.shuffle(self.files)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _read_pair(self, name: str) -> Tuple[np.ndarray, np.ndarray]:
+        cpath = os.path.join(self.clean_dir, name)
+        npath = os.path.join(self.noisy_dir, name)
+        n_frames, sr, _ = wav_info(cpath)
+        assert sr == self.hp.sampling_rate
+        seg = self.segment_size
+        if seg is None or n_frames < seg:
+            clean, _ = read_wav(cpath)
+            noisy, _ = read_wav(npath)
+            if seg is not None:
+                pad = seg - len(clean)
+                clean = np.pad(clean, (pad // 2, pad - pad // 2))
+                noisy = np.pad(noisy, (pad // 2, pad - pad // 2))
+            return clean, noisy
+        start = random.randint(0, n_frames - seg)
+        clean, _ = read_wav(cpath, start=start, frames=seg)
+        noisy, _ = read_wav(npath, start=start, frames=seg)
+        return clean, noisy
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        name = self.files[idx]
+        clean, noisy = self._read_pair(name)
+        data: Dict[str, Any] = {"clean": clean.astype(np.float32),
+                                "noisy": noisy.astype(np.float32)}
+        if "filename" in self.keys:
+            data["filename"] = name
+        return data
+
+
+def extract_pitch(wav: np.ndarray, sampling_rate: int, hop_size: int,
+                  fmin: float = 75.0, fmax: float = 600.0,
+                  log_pitch: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Pitch + voicing via parselmouth (audio.py:217-257), gated on the
+    optional dependency; NaN-free linear interpolation over unvoiced."""
+    try:
+        import parselmouth
+    except ImportError as e:
+        raise ImportError("pitch extraction requires parselmouth") from e
+    from scipy.interpolate import interp1d
+
+    padding = int(math.floor(sampling_rate / fmin * 3 / 2 - hop_size / 2)) + 1
+    padded = np.pad(wav, (padding, padding))
+    snd = parselmouth.Sound(padded, sampling_rate)
+    pitch = snd.to_pitch(time_step=hop_size / sampling_rate,
+                         pitch_floor=fmin,
+                         pitch_ceiling=fmax).selected_array["frequency"]
+    voiced = np.sign(pitch).astype(np.float32)
+    nz = np.where(pitch != 0)[0]
+    if len(nz) == 0:
+        pitch = np.full_like(pitch, fmin)
+    else:
+        pitch[:nz[0]] = pitch[nz[0]]
+        pitch[nz[-1]:] = pitch[nz[-1]]
+        nz = np.where(pitch != 0)[0]
+        interp = interp1d(nz, pitch[nz])
+        pitch = interp(np.arange(len(pitch)))
+    if log_pitch:
+        pitch = np.log(pitch)
+    return pitch.astype(np.float32), voiced
+
+
 def _resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     from scipy.signal import resample_poly
     g = math.gcd(sr_in, sr_out)

@@ -114,3 +114,22 @@ def test_factory_from_config(wav_tree):
     assert len(loader) == 4  # 16 items / 2 shards / batch 2
     batch = next(iter(loader))
     assert batch["wav"].shape == (2, 24000)
+
+
+def test_paired_clean_noisy(tmp_path, rng):
+    from hilcodec_tpu.data.datasets import PairedCleanNoisyDataset
+    for sub in ("clean", "noisy"):
+        (tmp_path / sub).mkdir()
+        for i in range(2):
+            x = (rng.standard_normal(30000) * 0.1).astype(np.float32)
+            write_wav(str(tmp_path / sub / f"f{i}.wav"), x, 24000)
+    (tmp_path / "train.txt").write_text("f0.wav\nf1.wav\n")
+    hp = HParams(clean_dir=str(tmp_path / "clean"),
+                 noisy_dir=str(tmp_path / "noisy"),
+                 sampling_rate=24000, segment_size=24000,
+                 filelists={"train": str(tmp_path / "train.txt")})
+    ds = PairedCleanNoisyDataset(hp, ["clean", "noisy", "filename"])
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["clean"].shape == item["noisy"].shape == (24000,)
+    ds.shuffle(1)
