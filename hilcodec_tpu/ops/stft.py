@@ -27,11 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def hann_window_np(win_size: int) -> np.ndarray:
+    """Periodic Hann (numpy), matching torch.hann_window(win_size)."""
+    n = np.arange(win_size)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_size)).astype(
+        np.float32)
+
+
 def hann_window(win_size: int, dtype=jnp.float32) -> jnp.ndarray:
     """Periodic Hann, matching torch.hann_window(win_size)."""
-    n = np.arange(win_size)
-    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_size)
-    return jnp.asarray(w, dtype)
+    return jnp.asarray(hann_window_np(win_size), dtype)
 
 
 def _pad_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
@@ -109,7 +114,7 @@ def causal_stft_basis(n_fft: int, win_size: Optional[int] = None,
     """The [n_fft+2, 1, n_fft] cos/sin conv basis of the reference CausalSTFT
     (models/hilcodec/modules/conv.py:329-345). Used for the learnable-filter
     option (`spec_learnable: True`) and for parity tests."""
-    window = np.asarray(hann_window(win_size or n_fft))
+    window = hann_window_np(win_size or n_fft)
     window = np.pad(window, ((n_fft - window.shape[0]) // 2,
                              (n_fft - window.shape[0] + 1) // 2))
     n = np.arange(n_fft)[None, :]
