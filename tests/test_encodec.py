@@ -118,3 +118,24 @@ def test_lm_model(rng):
     assert probs.shape == (2, 32, 4, 10)
     np.testing.assert_allclose(np.asarray(probs).sum(1),
                                np.ones((2, 4, 10)), rtol=1e-4)
+
+
+def test_lm_training_reduces_entropy(rng):
+    """A few LM steps on fixed tokens reduce next-step cross-entropy."""
+    from hilcodec_tpu.train.lm import lm_cross_entropy, lm_train_step
+    from hilcodec_tpu.train.optim import make_optimizer
+
+    lm = LMModel(n_q=2, card=16, dim=16, num_heads=4, num_layers=1,
+                 past_context=32)
+    params = lm.init(jax.random.PRNGKey(0))
+    opt, lr = make_optimizer("Adam", {"lr": 1e-2})
+    opt_state = opt.init(params)
+    tokens = jnp.asarray(rng.integers(0, 16, (2, 2, 24)).astype(np.int32))
+
+    import jax as _jax
+    step = _jax.jit(lambda p, s: lm_train_step(lm, opt, p, s, tokens,
+                                               jnp.asarray(lr)))
+    first = float(lm_cross_entropy(lm, params, tokens))
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state)
+    assert float(loss) < first

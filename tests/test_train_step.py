@@ -130,3 +130,21 @@ def test_parallel_train_step_8dev(rng):
                     jax.tree.leaves(new_state.params_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-4)
+
+
+def test_overfit_single_batch(rng):
+    """Training sanity: repeated steps on one batch drive the mel loss
+    down (the balancer + AdamP + straight-through VQ actually learn)."""
+    trainer = tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    step = jax.jit(trainer.train_step)
+    first = None
+    for i in range(30):
+        state, m = step(state, jnp.asarray(wav), jax.random.PRNGKey(7))
+        if i == 0:
+            first = float(m["loss/freq"])
+        assert float(m["finite"]) == 1.0
+    last = float(m["loss/freq"])
+    assert last < first * 0.95, (first, last)
