@@ -18,9 +18,36 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..utils.wavio import read_wav, wav_info
+from ..utils.wavio import read_wav as _py_read_wav
+from ..utils.wavio import wav_info as _py_wav_info
+from . import native
 
 AUDIO_EXT = (".wav", ".WAV", ".flac", ".FLAC", ".mp3")
+
+
+def read_wav(path: str, start: int = 0, frames: Optional[int] = None,
+             mono: bool = True):
+    """WAV read via the native C++ reader when built (GIL-free decode),
+    stdlib `wave` otherwise."""
+    if native.available() and path.endswith((".wav", ".WAV")):
+        try:
+            data = native.read_segment(path, start,
+                                       -1 if frames is None else frames)
+            _n, sr, _c = native.wav_info(path)
+            return data, sr
+        except (IOError, RuntimeError):
+            pass
+    return _py_read_wav(path, start, frames, mono)
+
+
+def wav_info(path: str):
+    if native.available() and path.endswith((".wav", ".WAV")):
+        try:
+            n, sr, ch = native.wav_info(path)
+            return n, sr, ch
+        except (IOError, RuntimeError):
+            pass
+    return _py_wav_info(path)
 
 
 class RandomGain:

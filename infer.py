@@ -26,6 +26,11 @@ def main():
     p.add_argument("-n", "--num_quantizers", type=int, default=None)
     p.add_argument("-f", "--frames_per_step", type=int, default=1,
                    help="frames per streaming step (latency granularity)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
+    p.add_argument("--latency", action="store_true",
+                   help="measure per-step latency histogram (dispatching "
+                        "one step at a time instead of one fused scan)")
     ns = p.parse_args()
 
     import jax
@@ -80,6 +85,17 @@ def main():
     out, _ = decode(tokens, cache_dec)
     jax.block_until_ready(out)
 
+    if ns.latency:
+        _latency_histogram(model, params, vq_state, jnp.asarray(wav),
+                           ns.frames_per_step, n, hop, sr)
+
+    if ns.profile:
+        with jax.profiler.trace(ns.profile):
+            tokens, _ = encode(jnp.asarray(wav), cache_enc)
+            out, _ = decode(tokens, cache_dec)
+            jax.block_until_ready(out)
+        print(f"profiler trace written to {ns.profile}")
+
     t0 = time.perf_counter()
     tokens, _ = encode(jnp.asarray(wav), cache_enc)
     tokens.block_until_ready()
@@ -100,6 +116,43 @@ def main():
     write_wav(f"{ns.output}_output.wav", np.asarray(out)[0, 0], sr)
     print(f"wrote {ns.output}_quantized.npy "
           f"{tuple(np.asarray(tokens).shape)} and {ns.output}_output.wav")
+
+
+def _latency_histogram(model, params, vq_state, wav, fps, n, hop, sr):
+    """Per-step wall latency (one dispatch per step, the worst-case
+    interactive serving pattern) — p50/p90/p99 + budget headroom."""
+    import jax
+    import jax.numpy as jnp
+
+    cache_enc, cache_dec = model.init_cache(wav.shape[0])
+
+    @jax.jit
+    def one_step(w, ce, cd):
+        tok, ce = model.encode_stream(params, vq_state, w, ce, n=n,
+                                      frames_per_step=fps)
+        out, cd = model.decode_stream(params, vq_state, tok, cd,
+                                      frames_per_step=fps)
+        return tok, out, ce, cd
+
+    step_samples = fps * hop
+    n_steps = min(wav.shape[-1] // step_samples, 200)
+    # warm up
+    _, o, ce, cd = one_step(wav[:, :, :step_samples], cache_enc, cache_dec)
+    jax.block_until_ready(o)
+    lats = []
+    for i in range(n_steps):
+        chunk = wav[:, :, i * step_samples:(i + 1) * step_samples]
+        t0 = time.perf_counter()
+        _, o, ce, cd = one_step(chunk, ce, cd)
+        jax.block_until_ready(o)
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats = np.sort(np.asarray(lats))
+    budget = step_samples / sr * 1e3
+    p = lambda q: lats[min(int(q * len(lats)), len(lats) - 1)]
+    print(f"per-step enc+dec latency over {n_steps} steps "
+          f"(budget {budget:.2f} ms): "
+          f"p50 {p(0.5):.2f}  p90 {p(0.9):.2f}  p99 {p(0.99):.2f} ms"
+          f"  ({'REAL-TIME' if p(0.99) < budget else 'over budget'})")
 
 
 if __name__ == "__main__":
