@@ -90,3 +90,15 @@ def test_grad_clip_variants():
     assert float(jnp.max(jnp.abs(v["b"]))) == 0.5
 
     assert make_clipper(None)(g) is g
+
+
+def test_debug_helpers(tmp_path):
+    from hilcodec_tpu.utils.debug import (FileLogger, find_nonfinite,
+                                          find_zero_grads)
+    tree = {"a": jnp.ones(3), "b": {"c": jnp.asarray([1.0, np.nan])}}
+    assert find_nonfinite(tree) == ["b/c"]
+    grads = {"a": jnp.zeros(3), "b": jnp.ones(2)}
+    assert find_zero_grads(grads) == ["a"]
+    log = FileLogger(str(tmp_path / "run.log"))
+    log.log("hello")
+    assert "hello" in open(tmp_path / "run.log").read()
