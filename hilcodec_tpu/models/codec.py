@@ -140,4 +140,8 @@ class CodecModel:
         return self.codec.init_cache(batch, dtype)
 
     def fold_params(self, params: Params) -> Params:
-        return self.codec.fold_params(params)
+        """Deployment-time weight-norm removal + scale merging; identity
+        for families without foldable reparameterizations."""
+        if hasattr(self.codec, "fold_params"):
+            return self.codec.fold_params(params)
+        return params
