@@ -298,19 +298,7 @@ class SAM:
 # regex param groups (optim/__init__.py:18-127)
 # ---------------------------------------------------------------------------
 
-def _leaf_paths(tree: Params) -> List[str]:
-    paths = []
-    for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        paths.append("/".join(_key_str(k) for k in kp))
-    return paths
-
-
-def _key_str(k) -> str:
-    if hasattr(k, "key"):
-        return str(k.key)
-    if hasattr(k, "idx"):
-        return str(k.idx)
-    return str(k)
+from ..utils.pytree import leaf_paths as _leaf_paths
 
 
 def _tree_map_with_path(fn, paths: List[str], params: Params, *rest):

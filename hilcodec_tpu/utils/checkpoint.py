@@ -16,23 +16,16 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
+from .pytree import key_str as _key_str
+from .pytree import leaf_paths as _leaf_paths
+
 _CKPT_RE = re.compile(r"^(\d+)\.ckpt\.npz$")
 
 
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
-    out = {}
-    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        path = "/".join(_key_str(k) for k in kp)
-        out[path] = np.asarray(leaf)
-    return out
-
-
-def _key_str(k) -> str:
-    if hasattr(k, "key"):
-        return str(k.key)
-    if hasattr(k, "idx"):
-        return str(k.idx)
-    return str(k)
+    leaves = jax.tree.leaves(tree)
+    return {path: np.asarray(leaf)
+            for path, leaf in zip(_leaf_paths(tree), leaves)}
 
 
 def save_checkpoint(run_dir: str, epoch: int, state: Any,

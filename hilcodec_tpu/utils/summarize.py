@@ -12,6 +12,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from .pytree import key_str as _key_str
+
 
 def get_writer(log_dir: str):
     # torch's writer encodes audio without the soundfile dependency
@@ -86,14 +88,6 @@ def plot_param_and_grad(hists: Dict[str, np.ndarray], params: Any,
             arr = np.asarray(leaf).ravel()
             if arr.size and np.isfinite(arr).all():
                 hists[name] = arr
-
-
-def _key_str(k) -> str:
-    if hasattr(k, "key"):
-        return str(k.key)
-    if hasattr(k, "idx"):
-        return str(k.idx)
-    return str(k)
 
 
 # -- terminal control (utils/terminal.py) -----------------------------------
