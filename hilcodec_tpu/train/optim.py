@@ -22,6 +22,8 @@ from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.pytree import leaf_paths as _leaf_paths
+
 
 Params = Any
 Grads = Any
@@ -298,7 +300,6 @@ class SAM:
 # regex param groups (optim/__init__.py:18-127)
 # ---------------------------------------------------------------------------
 
-from ..utils.pytree import leaf_paths as _leaf_paths
 
 
 def _tree_map_with_path(fn, paths: List[str], params: Params, *rest):
