@@ -97,9 +97,11 @@ class TrainLoop:
             sampling_rate=hps.data.sampling_rate,
             num_workers=hps.get("pesq", {}).get("num_workers_executor", 4))
 
-        n = self.n_dev
         self.train_ds, self.train_loader = get_dataset_dataloader(
             hps, "train", ["wav"], num_shards=1, shard=0)
+        # config batch_size is per device (reference: per GPU); one host
+        # feeds all local chips
+        self.train_loader.batch_size *= self.n_dev
         try:
             self.valid_ds, self.valid_loader = get_dataset_dataloader(
                 hps, "valid", ["wav"], num_shards=1, shard=0)
