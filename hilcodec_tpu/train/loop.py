@@ -74,7 +74,6 @@ def build_trainer(hps, axis_name: Optional[str] = None) -> Trainer:
         use_normalized_fm=hp.get("use_normalized_fm_loss", True),
         lookahead=hp.get("lookahead", 0),
         disc_update_ratio=tuple(hp.get("disc_update_ratio", (1, 1))),
-        remat=hp.get("remat", False),
         axis_name=axis_name)
 
 

@@ -67,8 +67,6 @@ class Trainer:
     lookahead: int = 0
     disc_update_ratio: Tuple[int, int] = (1, 1)
     axis_name: Optional[str] = None
-    remat: bool = False   # rematerialize disc/generator activations
-                          # (trades FLOPs for HBM; enables ~2x batch)
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -112,9 +110,6 @@ class Trainer:
                 axis_name=axis)
             return (wav_g, loss_vq), (new_vq, n_rep, loss_vq)
 
-        def _maybe_remat(f):
-            return jax.checkpoint(f) if self.remat else f
-
         (wav_g, _lv), gen_pull, aux = jax.vjp(gen_fn, state.params_g,
                                               has_aux=True)
         new_vq_state, num_replaces, loss_vq = aux
@@ -145,7 +140,7 @@ class Trainer:
                                         {name: fmaps_r[name]})[f"{name}_fm"]
                 return (g_l, fm_l)
 
-            (g_l, fm_l), pull = jax.vjp(_maybe_remat(fam), wav_g_sg)
+            (g_l, fm_l), pull = jax.vjp(fam, wav_g_sg)
             losses[f"{name}_g"] = g_l
             losses[f"{name}_fm"] = fm_l
             one = jnp.ones_like(g_l)
@@ -186,8 +181,7 @@ class Trainer:
             lr_logits, _ = self.disc.apply(params_d, wav_r_in)
             return self._d_loss_fn(lg, lr_logits)
 
-        d_loss, d_grads = jax.value_and_grad(_maybe_remat(d_fn))(
-            state.params_d)
+        d_loss, d_grads = jax.value_and_grad(d_fn)(state.params_d)
         if axis is not None:
             d_grads = jax.lax.pmean(d_grads, axis)
         lr_d = self.sched_d(self.lr_d, state.iteration, state.epoch)
