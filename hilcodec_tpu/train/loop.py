@@ -320,14 +320,6 @@ class TrainLoop:
 
 
 def check_replica_consistency(state: TrainState) -> None:
-    """End-of-epoch replica-divergence check (wrapper.py:306-314). With
-    shard_map-replicated state this is structural, but verify numerically:
-    every addressable shard of every leaf must be identical."""
-    for leaf in jax.tree.leaves(state.params_d):
-        shards = getattr(leaf, "addressable_shards", None)
-        if not shards or len(shards) < 2:
-            continue
-        first = np.asarray(shards[0].data)
-        for s in shards[1:]:
-            np.testing.assert_allclose(first, np.asarray(s.data),
-                                       rtol=1e-6, atol=1e-7)
+    """End-of-epoch replica-divergence check (wrapper.py:306-314)."""
+    from ..parallel.mesh import assert_replicas_consistent
+    assert_replicas_consistent(state.params_d)
