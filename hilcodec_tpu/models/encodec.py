@@ -126,6 +126,7 @@ class EncodecResnetBlock:
     norm: str = R.WEIGHT_NORM
     compress: int = 2
     true_skip: bool = False
+    pad_mode: str = "reflect"   # the EnCodec-family default
 
     def __post_init__(self):
         hidden = self.dim // self.compress
@@ -134,7 +135,7 @@ class EncodecResnetBlock:
             in_chs = self.dim if i == 0 else hidden
             out_chs = self.dim if i == len(self.kernel_sizes) - 1 else hidden
             convs.append(L.Conv1d(in_chs, out_chs, k, dilation=d,
-                                  norm=self.norm))
+                                  norm=self.norm, pad_mode=self.pad_mode))
         object.__setattr__(self, "convs", tuple(convs))
         object.__setattr__(self, "_act",
                            L.activation(self.activation,
@@ -204,13 +205,14 @@ class EncodecEncoder:
     true_skip: bool = False
     compress: int = 2
     lstm: int = 2
+    pad_mode: str = "reflect"
 
     def __post_init__(self):
         ratios = tuple(reversed(self.ratios))
         object.__setattr__(self, "_ratios", ratios)
         object.__setattr__(self, "hop_length", int(np.prod(ratios)))
         conv_pre = L.Conv1d(self.channels, self.n_filters, self.kernel_size,
-                            norm=self.norm)
+                            norm=self.norm, pad_mode=self.pad_mode)
         stages = []
         mult = 1
         for ratio in ratios:
@@ -222,15 +224,17 @@ class EncodecEncoder:
                     activation=self.activation,
                     activation_params=self.activation_params,
                     norm=self.norm, compress=self.compress,
-                    true_skip=self.true_skip)
+                    true_skip=self.true_skip, pad_mode=self.pad_mode)
                 for j in range(self.n_residual_layers))
             down = L.Conv1d(mult * self.n_filters, mult * self.n_filters * 2,
-                            ratio * 2, stride=ratio, norm=self.norm)
+                            ratio * 2, stride=ratio, norm=self.norm,
+                            pad_mode=self.pad_mode)
             stages.append((blocks, down))
             mult *= 2
         slstm = SLSTM(mult * self.n_filters, self.lstm) if self.lstm else None
         conv_post = L.Conv1d(mult * self.n_filters, self.dimension,
-                             self.last_kernel_size, norm=self.norm)
+                             self.last_kernel_size, norm=self.norm,
+                             pad_mode=self.pad_mode)
         object.__setattr__(self, "conv_pre", conv_pre)
         object.__setattr__(self, "stages", tuple(stages))
         object.__setattr__(self, "slstm", slstm)
@@ -318,12 +322,14 @@ class EncodecDecoder:
     compress: int = 2
     lstm: int = 2
     final_activation: Optional[str] = None
+    pad_mode: str = "reflect"
 
     def __post_init__(self):
         object.__setattr__(self, "hop_length", int(np.prod(self.ratios)))
         mult = int(2 ** len(self.ratios))
         conv_pre = L.Conv1d(self.dimension, mult * self.n_filters,
-                            self.kernel_size, norm=self.norm)
+                            self.kernel_size, norm=self.norm,
+                            pad_mode=self.pad_mode)
         slstm = SLSTM(mult * self.n_filters, self.lstm) if self.lstm else None
         stages = []
         for ratio in self.ratios:
@@ -338,12 +344,13 @@ class EncodecDecoder:
                     activation=self.activation,
                     activation_params=self.activation_params,
                     norm=self.norm, compress=self.compress,
-                    true_skip=self.true_skip)
+                    true_skip=self.true_skip, pad_mode=self.pad_mode)
                 for j in range(self.n_residual_layers))
             stages.append((up, blocks))
             mult //= 2
         conv_post = L.Conv1d(self.n_filters, self.channels,
-                             self.last_kernel_size, norm=self.norm)
+                             self.last_kernel_size, norm=self.norm,
+                             pad_mode=self.pad_mode)
         object.__setattr__(self, "conv_pre", conv_pre)
         object.__setattr__(self, "slstm", slstm)
         object.__setattr__(self, "stages", tuple(stages))
@@ -438,6 +445,7 @@ class EncodecModel:
     lstm: int = 2
     final_activation: Optional[str] = None
     vq_dim: int = 128
+    pad_mode: str = "reflect"
 
     def __post_init__(self):
         enc = EncodecEncoder(
@@ -445,13 +453,13 @@ class EncodecModel:
             self.n_residual_layers, tuple(self.strides), self.activation,
             None, self.norm, self.kernel_size, self.last_kernel_size,
             self.residual_kernel_size, self.dilation_base, self.true_skip,
-            self.compress, self.lstm)
+            self.compress, self.lstm, self.pad_mode)
         dec = EncodecDecoder(
             self.channels_audio, self.vq_dim, self.channels_dec,
             self.n_residual_layers, tuple(self.strides), self.activation,
             None, self.norm, self.kernel_size, self.last_kernel_size,
             self.residual_kernel_size, self.dilation_base, self.true_skip,
-            self.compress, self.lstm, self.final_activation)
+            self.compress, self.lstm, self.final_activation, self.pad_mode)
         object.__setattr__(self, "encoder", enc)
         object.__setattr__(self, "decoder", dec)
         object.__setattr__(self, "hop_length", enc.hop_length)

@@ -91,6 +91,7 @@ class Conv1d:
     norm: str = R.WEIGHT_NORM
     causal: bool = True
     nonlinearity: str = "linear"
+    pad_mode: str = "constant"   # 'reflect' = EnCodec-family default
 
     def init(self, key: jax.Array) -> Params:
         k_w, k_u = jax.random.split(key)
@@ -118,7 +119,7 @@ class Conv1d:
         b = params.get("b")
         if self.causal and self.kernel_size > 1:
             return C.causal_conv1d(x, w, b, self.stride, self.dilation,
-                                   self.groups)
+                                   self.groups, pad_mode=self.pad_mode)
         return C.conv1d(x, w, b, self.stride, self.dilation, self.groups)
 
     def apply_nopad(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -78,12 +78,17 @@ def extra_pad_for_full_windows(length: int, kernel_size: int, stride: int,
 
 def causal_conv1d(x: jnp.ndarray, w: jnp.ndarray,
                   b: Optional[jnp.ndarray] = None, stride: int = 1,
-                  dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+                  dilation: int = 1, groups: int = 1,
+                  pad_mode: str = "constant") -> jnp.ndarray:
     """Batched causal conv: left-pad by d*(k-1)-(s-1), right-pad to a full
-    last window (constant/zero padding, the shipped `pad_mode`)."""
+    last window. pad_mode 'constant' (the shipped HILCodec configs) or
+    'reflect' (the EnCodec family default, modules/conv.py:86-103)."""
     k = w.shape[-1]
     pad_total = causal_pad_total(k, stride, dilation)
     extra = extra_pad_for_full_windows(x.shape[-1], k, stride, pad_total)
+    if pad_mode != "constant":
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad_total, extra)), mode=pad_mode)
+        return conv1d(x, w, b, stride, dilation, groups)
     return conv1d(x, w, b, stride, dilation, groups,
                   padding=(pad_total, extra))
 

@@ -52,8 +52,12 @@ def test_slstm_stream_equals_batch(rng):
 
 @pytest.fixture(scope="module")
 def enc_model():
+    # pad_mode constant so streaming (zero cache) == batch exactly; the
+    # reference's reflect default diverges at the sequence start the same
+    # way its own streaming graph does.
     return EncodecModel(channels_enc=8, channels_dec=8, strides=(4, 2),
-                        lstm=1, vq_dim=16, n_residual_layers=1)
+                        lstm=1, vq_dim=16, n_residual_layers=1,
+                        pad_mode="constant")
 
 
 def test_encodec_forward_shapes(enc_model, rng):
@@ -118,6 +122,22 @@ def test_lm_model(rng):
     assert probs.shape == (2, 32, 4, 10)
     np.testing.assert_allclose(np.asarray(probs).sum(1),
                                np.ones((2, 4, 10)), rtol=1e-4)
+
+
+def test_reflect_pad_mode_differs_only_at_start(rng):
+    """EnCodec's reflect padding (reference default) vs constant: outputs
+    agree after the encoder warm-up region."""
+    kw = dict(channels_enc=8, channels_dec=8, strides=(4, 2), lstm=0,
+              vq_dim=16, n_residual_layers=1)
+    m_r = EncodecModel(pad_mode="reflect", **kw)
+    m_c = EncodecModel(pad_mode="constant", **kw)
+    params = m_r.init(jax.random.PRNGKey(0))
+    wav = (rng.standard_normal((1, 1, 8 * 64)) * 0.3).astype(np.float32)
+    z_r = np.asarray(m_r.encoder.apply(params["encoder"], jnp.asarray(wav)))
+    z_c = np.asarray(m_c.encoder.apply(params["encoder"], jnp.asarray(wav)))
+    assert not np.allclose(z_r[..., :2], z_c[..., :2])
+    np.testing.assert_allclose(z_r[..., 16:], z_c[..., 16:], rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_lm_training_reduces_entropy(rng):

@@ -26,6 +26,7 @@ def test_build_encodec_full_codec_stream(rng):
     m = build_model("encodec", {"channels_enc": 8, "channels_dec": 8,
                                 "strides": [4, 2], "lstm": 1,
                                 "n_residual_layers": 1,
+                                "pad_mode": "constant",
                                 "vq_kwargs": {"dim": 16,
                                               "codebook_size": 32,
                                               "num_quantizers": 4,
