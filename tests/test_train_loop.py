@@ -21,6 +21,7 @@ def corpus(tmp_path, rng):
         write_wav(str(d / f"a{i}.wav"), x, 24000)
     (tmp_path / "valid.txt").write_text("audio/a0.wav|\naudio/a1.wav|\n")
     (tmp_path / "infer.txt").write_text("audio/a2.wav|\n")
+    (tmp_path / "pesq.txt").write_text("audio/a3.wav|\n")
     return tmp_path
 
 
@@ -53,7 +54,7 @@ def tiny_hps(root):
         },
         data={
             "dataset": {"train": "DirectoriesDataset", "valid": "Dataset",
-                        "infer": "Dataset"},
+                        "infer": "Dataset", "pesq": "Dataset"},
             "classes": {"all": {"directories_to_include":
                                 [str(root / "audio")],
                                 "extension": ".wav", "probability": 1.0}},
@@ -61,7 +62,8 @@ def tiny_hps(root):
             "length": 8, "wav_dir": str(root), "extension": "",
             "num_infer": 1,
             "filelists": {"valid": str(root / "valid.txt"),
-                          "infer": str(root / "infer.txt")},
+                          "infer": str(root / "infer.txt"),
+                          "pesq": str(root / "pesq.txt")},
             "filter": {"train": False, "valid": False},
             "segment_size": 1024, "sampling_rate": 24000,
             "normalize_method": "random_gain",
@@ -86,8 +88,8 @@ def tiny_hps(root):
         },
         valid={"batch_size": 2},
         infer={"interval": 2, "batch_size": 1},
-        pesq={"interval": 1000, "batch_size": 1,
-              "metrics_to_calculate": {"stoi": False}},
+        pesq={"interval": 1000, "batch_size": 1, "num_workers": 0,
+              "metrics_to_calculate": {"stoi": True}},
     )
 
 
@@ -114,3 +116,18 @@ def test_train_loop_two_epochs(corpus, tmp_path):
     for a, b in zip(jax.tree.leaves(loop.state.params_g),
                     jax.tree.leaves(loop2.state.params_g)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pesq_epoch_stoi(corpus, tmp_path):
+    """The objective-metric epoch end to end with the numpy STOI backend
+    (wrapper.py:364-380 + metrics.py protocol)."""
+    from hilcodec_tpu.train.loop import TrainLoop
+
+    hps = tiny_hps(corpus)
+    hps.data.filter = {"train": False, "valid": False, "pesq": True}
+    loop = TrainLoop(hps, run_dir=str(tmp_path / "run2"))
+    loop.init_or_resume()
+    out = loop.pesq_epoch()
+    assert "stoi" in out
+    assert 0.0 <= out["stoi"] <= 1.0 or np.isnan(out["stoi"]) is False
+    assert loop.metrics.best["stoi"] == out["stoi"]
