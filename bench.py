@@ -16,7 +16,30 @@ import time
 import numpy as np
 
 
+def parse_args(argv):
+    """[streams] [--mesh] [--seconds S] — fail fast on malformed input."""
+    seconds, mesh = 4.0, "--mesh" in argv
+    argv = [a for a in argv if a != "--mesh"]
+    if "--seconds" in argv:
+        i = argv.index("--seconds")
+        if i + 1 >= len(argv):
+            sys.exit("error: --seconds requires a value")
+        try:
+            seconds = float(argv[i + 1])
+        except ValueError:
+            sys.exit(f"error: --seconds requires a number, got "
+                     f"{argv[i + 1]!r}")
+        argv = argv[:i] + argv[i + 2:]
+    pos = [a for a in argv if not a.startswith("-")]
+    try:
+        streams = int(pos[0]) if pos else 128
+    except ValueError:
+        sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
+    return streams, seconds, mesh
+
+
 def main():
+    streams, seconds, use_mesh = parse_args(sys.argv[1:])
     import jax
     import jax.numpy as jnp
     try:
@@ -46,15 +69,26 @@ def main():
 
     hop = model.hop_length
     sr = 24000
-    streams = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     frames_per_step = 1          # true 13.33 ms frame-by-frame streaming
-    seconds = 4.0
     n_frames = int(seconds * sr) // hop
     n_frames -= n_frames % frames_per_step
 
     wav = jax.random.normal(jax.random.PRNGKey(2),
                             (streams, 1, n_frames * hop), jnp.float32) * 0.3
     cache_enc, cache_dec = model.init_cache(streams)
+
+    n_dev = len(jax.devices())
+    if use_mesh and n_dev > 1:
+        # Serving scale-out: shard the stream dimension over all chips
+        # (no collectives in the compiled program; throughput scales with
+        # the mesh). Single-chip runs are unaffected.
+        from hilcodec_tpu.parallel.mesh import (data_parallel_mesh,
+                                                replicate, shard_streams)
+        mesh = data_parallel_mesh()
+        params = replicate(mesh, params)
+        vq_state = replicate(mesh, vq_state)
+        wav, cache_enc = shard_streams(mesh, wav=wav, cache=cache_enc)
+        cache_dec = shard_streams(mesh, cache=cache_dec)
 
     @jax.jit
     def enc_dec(wav, cache_enc, cache_dec):

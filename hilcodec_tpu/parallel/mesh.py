@@ -34,6 +34,34 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_streams(mesh: Mesh, wav=None, cache=None, tokens=None,
+                  axis: str = "dp"):
+    """Place streaming-serving tensors over the mesh for SPMD inference.
+
+    Concurrent streams scale across chips by sharding the stream (batch)
+    dimension: wav [B, 1, T] and every cache tensor [B, C, L] shard their
+    leading axis; token arrays [n_q, B, T'] shard axis 1 (the reference's
+    token layout, test_onnx.py:97-100). Params stay replicated (use
+    `replicate`). The jitted `encode_stream`/`decode_stream` then compile
+    to fully-parallel per-chip programs with no collectives — streaming
+    serving is embarrassingly parallel over streams.
+
+    Returns the same structure(s), device-placed; any of wav/cache/tokens
+    may be None.
+    """
+    batch_sh = NamedSharding(mesh, P(axis))
+    token_sh = NamedSharding(mesh, P(None, axis))
+    out = []
+    if wav is not None:
+        out.append(jax.device_put(wav, batch_sh))
+    if cache is not None:
+        out.append(jax.tree.map(lambda x: jax.device_put(x, batch_sh),
+                                cache))
+    if tokens is not None:
+        out.append(jax.device_put(tokens, token_sh))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
 def process_mean(value: float, weight: float = 1.0) -> float:
     """Cross-host weighted mean for logging/metric reductions
     (dist.reduce(dst=0) analogue, metrics.py:137)."""
