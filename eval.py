@@ -1,0 +1,202 @@
+"""Offline objective evaluation with confidence intervals.
+
+The reference computes PESQ/STOI offline with scipy t-interval CIs in
+`scripts/PESQ STOI.ipynb` (cell 1); this is that notebook as a CLI. Two
+modes:
+
+  model mode:    run wavs through the codec (offline encode->decode at a
+                 chosen number of quantizers) and score reconstruction
+    python eval.py -c CONFIG --ckpt CKPT -i FILELIST_OR_DIR [-n N_Q]
+
+  degraded mode: score pre-decoded wavs against references directly
+    python eval.py -i REF_DIR -d DEG_DIR
+
+Reports per-metric mean, 95% t-interval, and per-file values (--verbose).
+"""
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+
+def collect_wavs(path):
+    """FILELIST (.txt of `relative/path.wav|` lines, filelists/*.txt
+    format) or directory -> sorted list of wav paths."""
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files
+                       if f.lower().endswith(".wav"))
+        return sorted(out)
+    base = os.path.dirname(os.path.abspath(path))
+    out = []
+    with open(path) as f:
+        for line in f:
+            rel = line.strip().split("|")[0]
+            if rel:
+                out.append(rel if os.path.isabs(rel)
+                           else os.path.join(base, rel))
+    return out
+
+
+def t_interval(values, confidence=0.95):
+    """Mean and half-width of the t-distribution CI (the notebook's
+    scipy.stats.t.interval on the per-file scores)."""
+    values = np.asarray(values, np.float64)
+    n = len(values)
+    mean = float(values.mean())
+    if n < 2:
+        return mean, float("nan")
+    sem = float(values.std(ddof=1)) / math.sqrt(n)
+    try:
+        from scipy.stats import t
+        half = float(t.ppf((1 + confidence) / 2, n - 1)) * sem
+    except ImportError:
+        half = 1.96 * sem
+    return mean, half
+
+
+def score_pair(ref, deg, sr, metrics):
+    """Per-file metric dict. Uses the training-path backends."""
+    from scipy.signal import resample_poly
+
+    from hilcodec_tpu.train.metrics import (_RESAMPLE_RATES, _pesq_backend,
+                                            measure_visqol, stoi)
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n], deg[:n]
+    out = {}
+    for name in metrics:
+        sr_t = _RESAMPLE_RATES[name]
+        g = math.gcd(sr, sr_t)
+        r_t = resample_poly(ref, sr_t // g, sr // g)
+        d_t = resample_poly(deg, sr_t // g, sr // g)
+        try:
+            if name == "stoi":
+                out[name] = float(stoi(r_t, d_t, sr_t))
+            elif name == "pesq":
+                out[name] = float(_pesq_backend(r_t, d_t, sr_t))
+            else:
+                mode = "speech" if name == "visqol" else "audio"
+                out[name] = float(measure_visqol(r_t, d_t, sr_t, mode))
+        except Exception as e:
+            print(f"  {name} failed: {e}", file=sys.stderr)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-i", "--input", required=True,
+                   help="reference wavs: filelist .txt or directory")
+    p.add_argument("-d", "--degraded", default=None,
+                   help="degraded wav dir (skip the model, score directly)")
+    p.add_argument("-c", "--config", default=None)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("-n", "--num_quantizers", type=int, default=None)
+    p.add_argument("-m", "--metrics", default="pesq,stoi",
+                   help="comma list of pesq,stoi,visqol,visqol_audio")
+    p.add_argument("--sr", type=int, default=None,
+                   help="sample rate override (default: config or wav)")
+    p.add_argument("--max-files", type=int, default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    ns = p.parse_args()
+    metrics = [m.strip() for m in ns.metrics.split(",") if m.strip()]
+    known = ("pesq", "stoi", "visqol", "visqol_audio")
+    bad = [m for m in metrics if m not in known]
+    if bad:
+        sys.exit(f"error: unknown metric(s) {bad}; choose from {known}")
+    if ns.degraded is not None and not os.path.isdir(ns.degraded):
+        sys.exit(f"error: degraded dir {ns.degraded!r} does not exist")
+
+    from hilcodec_tpu.utils.wavio import read_wav
+
+    refs = collect_wavs(ns.input)
+    if ns.max_files:
+        refs = refs[: ns.max_files]
+    if not refs:
+        sys.exit(f"error: no wav files found under {ns.input!r}")
+
+    run_model = None
+    sr_cfg = ns.sr
+    if ns.degraded is None:
+        if not ns.config:
+            sys.exit("error: need -c CONFIG (or -d DEG_DIR for "
+                     "degraded mode)")
+        import jax
+        import jax.numpy as jnp
+
+        from hilcodec_tpu.models.registry import build_model
+        from hilcodec_tpu.utils.hparams import load_config
+
+        hps = load_config(ns.config)
+        sr_cfg = sr_cfg or hps.data.sampling_rate
+        model = build_model(hps.get("model", "hilcodec"),
+                            hps.model_kwargs.to_dict())
+        params, vq_state = model.init(jax.random.PRNGKey(0))
+        vq_state = dict(vq_state)
+        if ns.ckpt:
+            from hilcodec_tpu.train.loop import build_trainer
+            from hilcodec_tpu.utils.checkpoint import load_checkpoint
+            trainer = build_trainer(hps)
+            state, _ = load_checkpoint(
+                ns.ckpt, trainer.init_state(jax.random.PRNGKey(0)))
+            params, vq_state = state.params_g, dict(state.vq_state)
+        else:
+            print("warning: no --ckpt, scoring randomly initialized "
+                  "weights", file=sys.stderr)
+            vq_state["embed"] = jax.random.normal(
+                jax.random.PRNGKey(1), vq_state["embed"].shape,
+                jnp.float32)
+        if hasattr(model, "fold_params"):
+            params = model.fold_params(params)
+        hop = model.hop_length
+
+        @jax.jit
+        def code(wav):
+            tokens = model.encode(params, vq_state, wav,
+                                  n=ns.num_quantizers)
+            return model.decode(params, vq_state, tokens)
+
+        def run_model(wav):
+            # pad to a fixed power-of-two hop count to bound recompiles
+            L = len(wav) // hop * hop
+            Lp = hop * (1 << max(0, (L // hop - 1)).bit_length())
+            x = np.zeros((1, 1, Lp), np.float32)
+            x[0, 0, :L] = wav[:L]
+            y = code(jnp.asarray(x))
+            return np.asarray(y[0, 0, :L])
+
+    per_file = {m: [] for m in metrics}
+    for i, path in enumerate(refs):
+        ref, sr = read_wav(path)
+        sr = sr_cfg or sr
+        if ns.degraded is not None:
+            dpath = os.path.join(ns.degraded, os.path.basename(path))
+            if not os.path.exists(dpath):
+                print(f"skip (no degraded): {path}", file=sys.stderr)
+                continue
+            deg, _ = read_wav(dpath)
+        else:
+            deg = run_model(ref)
+        scores = score_pair(np.asarray(ref), np.asarray(deg), sr, metrics)
+        for k, v in scores.items():
+            per_file[k].append(v)
+        if ns.verbose:
+            line = "  ".join(f"{k}={v:.4f}" for k, v in scores.items())
+            print(f"[{i + 1}/{len(refs)}] {os.path.basename(path)}: "
+                  f"{line}")
+
+    print(f"\n== {len(refs)} files ==")
+    for m in metrics:
+        vals = per_file[m]
+        if not vals:
+            print(f"{m}: no results")
+            continue
+        mean, half = t_interval(vals)
+        print(f"{m}: {mean:.4f} +/- {half:.4f} (95% CI, n={len(vals)})")
+
+
+if __name__ == "__main__":
+    main()
