@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import rvq as Q
+from ..ops import pallas_rvq as PQ
 from .hilcodec import HILCodec
 
 Params = Dict[str, Any]
@@ -73,7 +74,7 @@ class CodecModel:
                n: Optional[int] = None) -> jnp.ndarray:
         """wav [B, 1, T] -> tokens [n, B, T/hop] (int32)."""
         z = self.codec.encoder.apply(params["encoder"], wav)
-        return Q.quantize(z.swapaxes(1, 2), vq_state["embed"], n=n)
+        return PQ.quantize(z.swapaxes(1, 2), vq_state["embed"], n=n)
 
     def decode(self, params: Params, vq_state: Q.VQState,
                tokens: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +104,8 @@ class CodecModel:
 
         def body(cache, x):
             z, cache = self.codec.encoder.step(params["encoder"], cache, x)
-            idx = Q.quantize(z.swapaxes(1, 2), books, n=n)
+            # fused Pallas RVQ on TPU (token-bit-exact vs the scan path)
+            idx = PQ.quantize(z.swapaxes(1, 2), books, n=n)
             return cache, idx
 
         cache, tokens = jax.lax.scan(body, cache, xs)

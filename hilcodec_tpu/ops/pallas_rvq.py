@@ -41,17 +41,23 @@ def _rvq_kernel(x_ref, books_ref, idx_ref, *, n_q: int, codebook_size: int):
         idx = jnp.argmin(dist, axis=1).astype(jnp.int32)    # [TM]
         idx_ref[k, :] = idx
         onehot = (lanes == idx[:, None]).astype(jnp.float32)
-        q = jnp.dot(onehot, e, preferred_element_type=jnp.float32)
+        # HIGHEST precision makes the one-hot matmul reconstruct e[idx]
+        # bit-exactly, so the residual cascade (and therefore every token)
+        # matches the gather-based path in ops/rvq.py. The distance dot
+        # above deliberately stays at default precision — that is what the
+        # XLA path uses, and the two argmins must see identical floats.
+        q = jnp.dot(onehot, e, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
         r = r - q
 
 
 @functools.partial(jax.jit, static_argnames=("n", "block_m"))
 def quantize_pallas(x: jnp.ndarray, codebooks: jnp.ndarray,
                     n: Optional[int] = None,
-                    block_m: int = 512) -> jnp.ndarray:
+                    block_m: Optional[int] = None) -> jnp.ndarray:
     """x: [B, T, C]; codebooks: [n_q, K, C] -> indices [n, B, T] (int32).
 
-    Drop-in replacement for ops.rvq.quantize on TPU.
+    Drop-in (token-bit-exact) replacement for ops.rvq.quantize on TPU.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -60,6 +66,9 @@ def quantize_pallas(x: jnp.ndarray, codebooks: jnp.ndarray,
     n_q = n_q_total if n is None else n
     B, T, _ = x.shape
     M = B * T
+    if block_m is None:
+        # small per-frame streaming batches: one block, no pad waste
+        block_m = min(512, max(8, -(-M // 8) * 8))
     flat = x.reshape(M, C)
     pad = (-M) % block_m
     if pad:
