@@ -51,13 +51,15 @@ def _rvq_kernel(x_ref, books_ref, idx_ref, *, n_q: int, codebook_size: int):
         r = r - q
 
 
-@functools.partial(jax.jit, static_argnames=("n", "block_m"))
+@functools.partial(jax.jit, static_argnames=("n", "block_m", "interpret"))
 def quantize_pallas(x: jnp.ndarray, codebooks: jnp.ndarray,
                     n: Optional[int] = None,
-                    block_m: Optional[int] = None) -> jnp.ndarray:
+                    block_m: Optional[int] = None,
+                    interpret: bool = False) -> jnp.ndarray:
     """x: [B, T, C]; codebooks: [n_q, K, C] -> indices [n, B, T] (int32).
 
     Drop-in (token-bit-exact) replacement for ops.rvq.quantize on TPU.
+    `interpret=True` runs the kernel in Pallas interpret mode (CPU CI).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -88,6 +90,7 @@ def quantize_pallas(x: jnp.ndarray, codebooks: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((n_q, block_m), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(flat, codebooks[:n_q])
     return idx[:, :M].reshape(n_q, B, T)
 

@@ -50,3 +50,52 @@ def test_pallas_quantize_fallback_on_cpu(rng):
     out = pallas_rvq.quantize(x, books)
     ref = Q.quantize(x, books)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_streaming_encode_with_pallas_kernel_matches_scan(rng):
+    """The codec's wired pallas path: run encode_stream with the kernel in
+    interpret mode (what the TPU executes, minus lowering) against the XLA
+    scan quantizer within the same program shape — tokens must be equal."""
+    import jax
+    import jax.numpy as jnp
+
+    from hilcodec_tpu.models.codec import CodecModel
+    from hilcodec_tpu.models.hilcodec import HILCodec
+    from hilcodec_tpu.ops import pallas_rvq
+    from hilcodec_tpu.ops import rvq as Q
+    from hilcodec_tpu.ops.rvq import ResidualVQ
+
+    model = CodecModel(
+        HILCodec(channels_enc=8, channels_dec=8, n_residual_enc=1,
+                 n_residual_dec=1, strides=(4, 2), res_scale_enc=0.577,
+                 res_scale_dec=0.577, vq_dim=8),
+        ResidualVQ(dim=8, codebook_size=16, num_quantizers=4,
+                   kmeans_init=False))
+    params, vq_state = model.init(jax.random.PRNGKey(0))
+    vq_state = dict(vq_state)
+    vq_state["embed"] = jax.random.normal(
+        jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
+    params = model.fold_params(params)
+
+    B, L = 4, 10
+    wav = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, 1, L * model.hop_length), jnp.float32) * 0.3
+    cache, _ = model.init_cache(B)
+
+    # route the dispatcher through the interpret-mode kernel
+    orig = pallas_rvq.quantize
+    pallas_rvq.quantize = lambda x, books, n=None: \
+        pallas_rvq.quantize_pallas(x, books, n, interpret=True)
+    try:
+        tok_pl, _ = model.encode_stream(params, vq_state, wav, cache)
+    finally:
+        pallas_rvq.quantize = orig
+
+    pallas_rvq.quantize = lambda x, books, n=None: Q.quantize(x, books, n)
+    try:
+        tok_xla, _ = model.encode_stream(params, vq_state, wav, cache)
+    finally:
+        pallas_rvq.quantize = orig
+
+    np.testing.assert_array_equal(np.asarray(tok_pl), np.asarray(tok_xla))
+    assert tok_pl.shape == (4, B, L)
