@@ -231,17 +231,26 @@ class FilelistDataset:
                              else getattr(hp, "segment_size", None))
         self.sampling_rate = hp.sampling_rate
 
+        # normalize-mode resolution (reference audio.py:53-69):
+        #   'max'         -> peak-normalize in every mode
+        #   'random_gain' -> random gain in train mode, no-op otherwise
+        #   'null'/None   -> no-op
         method = getattr(hp, "normalize_method", "max")
-        self.normalize = method if mode == "train" or method == "max" \
-            else ("max" if method == "max" else None)
-        if method == "random_gain" and mode == "train":
-            self.normalize = "random_gain"
-            self.random_gain_low = hp.random_gain_low
-            self.random_gain_high = hp.random_gain_high
-        elif method == "max":
+        self.random_gain_low = self.random_gain_high = 1.0
+        if method == "max":
             self.normalize = "max"
-        else:
+        elif method in ("null", None):
             self.normalize = None
+        elif method == "random_gain":
+            if mode == "train":
+                self.normalize = "random_gain"
+                self.random_gain_low = hp.random_gain_low
+                self.random_gain_high = hp.random_gain_high
+            else:
+                self.normalize = None
+        else:
+            raise RuntimeError(
+                f"hps.data.normalize_method {method} is not supported.")
 
         filelist = hp.filelists[mode]
         entries = []

@@ -469,6 +469,15 @@ class HILCodec:
 
     def __post_init__(self):
         assert self.causal, "TPU build implements the causal codec"
+        if self.pad_mode not in ("constant", "zeros"):
+            # Streaming inference left-pads every causal conv with a
+            # zero-initialized cache; training with any other pad mode would
+            # silently break batch<->stream parity, so reject it rather
+            # than drop it (reference models.py accepts pad_mode but the
+            # shipped causal configs always use constant).
+            raise ValueError(
+                f"HILCodec pad_mode={self.pad_mode!r} is not supported: "
+                "the causal streaming cache is equivalent to zero padding")
         enc = Encoder(
             self.channels_audio, self.vq_dim, self.channels_enc,
             self.n_fft_base, self.n_residual_enc, tuple(self.strides),

@@ -85,40 +85,66 @@ class CosineAnnealingWarmupRestarts:
 @dataclasses.dataclass(frozen=True)
 class ReduceLROnPlateau:
     """Metric-driven decay (optim/lr_scheduler.py:118-293). Stateful by
-    nature; implemented host-side: call `update(metric)` once per epoch and
-    use `.scale` as the LR multiplier inside the step."""
+    nature; implemented host-side: call `update(state, metric)` once per
+    epoch (after validation) and feed `state['scale']` to the train step's
+    `TrainState.lr_scale`. Semantics match the reference step(): is_better
+    with rel/abs threshold modes, cooldown, and `initial_patience` epochs
+    during which the LR is never reduced. (Note: the reference's own epoch
+    loop calls `scheduler.step()` with no metric — wrapper.py:318 — so
+    selecting ReduceLROnPlateau there crashes; here it is actually driven.)
+    """
     factor: float = 0.1
     patience: int = 10
     initial_patience: int = 0
     threshold: float = 1e-4
+    threshold_mode: str = "rel"
+    cooldown: int = 0
     mode: str = "min"
     min_lr: float = 0.0
+    eps: float = 1e-8
 
     def init_state(self) -> dict:
-        return {"best": None, "bad_epochs": 0, "scale": 1.0, "epoch": 0}
+        worst = math.inf if self.mode == "min" else -math.inf
+        return {"best": worst, "bad_epochs": 0, "cooldown": 0,
+                "scale": 1.0, "epoch": 0}
 
-    def update(self, state: dict, metric: float) -> dict:
+    def _is_better(self, a: float, best: float) -> bool:
+        if self.mode == "min" and self.threshold_mode == "rel":
+            return a < best * (1.0 - self.threshold)
+        if self.mode == "min":
+            return a < best - self.threshold
+        if self.threshold_mode == "rel":
+            return a > best * (1.0 + self.threshold)
+        return a > best + self.threshold
+
+    def update(self, state: dict, metric: float,
+               base_lr: Optional[float] = None) -> dict:
         state = dict(state)
         state["epoch"] += 1
-        best = state["best"]
-        better = (best is None or
-                  (metric < best * (1 - self.threshold)
-                   if self.mode == "min"
-                   else metric > best * (1 + self.threshold)))
-        if better:
-            state["best"] = metric
+        if self._is_better(float(metric), state["best"]):
+            state["best"] = float(metric)
             state["bad_epochs"] = 0
         else:
             state["bad_epochs"] += 1
-        patience = max(self.patience,
-                       self.initial_patience - state["epoch"])
-        if state["bad_epochs"] > patience:
-            state["scale"] = max(state["scale"] * self.factor, self.min_lr)
+        if state["epoch"] <= self.initial_patience:
+            return state
+        if state["cooldown"] > 0:
+            state["cooldown"] -= 1
+            state["bad_epochs"] = 0
+        if state["bad_epochs"] > self.patience:
+            # min_lr bounds the absolute LR (reference _reduce_lr); as a
+            # multiplier that is min_lr / base_lr when base_lr is known
+            floor = self.min_lr / base_lr if base_lr else 0.0
+            new_scale = max(state["scale"] * self.factor, floor)
+            if state["scale"] - new_scale > self.eps:
+                state["scale"] = new_scale
+            state["cooldown"] = self.cooldown
             state["bad_epochs"] = 0
         return state
 
-    def __call__(self, base_lr, iteration, epoch, scale: float = 1.0):
-        return jnp.asarray(base_lr * scale, jnp.float32)
+    def __call__(self, base_lr, iteration, epoch):
+        # the plateau multiplier rides TrainState.lr_scale, not the schedule
+        return jnp.asarray(base_lr, jnp.float32)
 
 
 def make_scheduler(name: Optional[str], kwargs: dict, max_epochs: int):

@@ -47,6 +47,9 @@ class TrainState(NamedTuple):
     balancer: Any
     iteration: jnp.ndarray     # global step counter
     epoch: jnp.ndarray
+    # ReduceLROnPlateau multiplier, updated host-side once per epoch
+    # (optim/lr_scheduler.py:242-250); stays 1.0 for all other schedulers.
+    lr_scale: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +70,9 @@ class Trainer:
     lookahead: int = 0
     disc_update_ratio: Tuple[int, int] = (1, 1)
     axis_name: Optional[str] = None
+    # gradient clipper applied to both G and D grads every update
+    # (reference wrapper.py:252-257 clip_grad; see grad_clip.make_clipper)
+    clipper: Optional[Any] = None
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -79,7 +85,8 @@ class Trainer:
             opt_d=self.optim_d.init(params_d),
             balancer=self.balancer.init_state(),
             iteration=jnp.zeros((), jnp.int32),
-            epoch=jnp.zeros((), jnp.int32))
+            epoch=jnp.zeros((), jnp.int32),
+            lr_scale=jnp.ones((), jnp.float32))
 
     # -- loss plumbing -------------------------------------------------------
     def _g_loss_fn(self, logits):
@@ -94,10 +101,13 @@ class Trainer:
         return (Lo.discriminator_loss_lsgan(lg, lr) if self.use_lsgan
                 else Lo.discriminator_loss(lg, lr))
 
-    # -- the step ------------------------------------------------------------
-    def train_step(self, state: TrainState, wav_r: jnp.ndarray,
-                   key: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
-        """wav_r: [B, 1, T] local shard. Returns (new_state, metrics)."""
+    # -- gradient computation (shared by train_step and the histogram dump) --
+    def compute_grads(self, state: TrainState, wav_r: jnp.ndarray,
+                      key: jax.Array) -> Dict[str, Any]:
+        """Forward + balancer + both backward passes, returning the exact
+        (pmean'd, clipped) grads the optimizers would consume plus all
+        auxiliary outputs. Deterministic in (state, wav_r, key), so the
+        plot_param_and_grad path recomputes identical grads."""
         axis = self.axis_name
         k_drop, k_vq = jax.random.split(jax.random.fold_in(
             key, state.iteration))
@@ -162,8 +172,50 @@ class Trainer:
         if axis is not None:
             g_grads = jax.lax.pmean(g_grads, axis)
 
-        lr_g = self.sched_g(self.lr_g, state.iteration, state.epoch)
-        upd_g, new_opt_g = self.optim_g.update(g_grads, state.opt_g,
+        # ---- discriminator grads --------------------------------------------
+        r0, r1 = self.disc_update_ratio
+        # wrapper.py:265: update D when (idx % r1) < r0
+        do_d = jnp.asarray(((state.iteration + 1) % r1) < r0 if r1 > 1
+                           else True)
+
+        def d_fn(params_d):
+            lg, _ = self.disc.apply(params_d, wav_g_sg)
+            lr_logits, _ = self.disc.apply(params_d, wav_r_in)
+            return self._d_loss_fn(lg, lr_logits)
+
+        if r1 > 1:
+            # skip the full D backward on masked steps (wrapper.py:265-277
+            # skips the computation, not just the update); the pmean stays
+            # outside the cond so collectives run unconditionally.
+            zeros = jax.tree.map(jnp.zeros_like, state.params_d)
+            d_loss, d_grads = jax.lax.cond(
+                do_d, lambda: jax.value_and_grad(d_fn)(state.params_d),
+                lambda: (jnp.zeros((), jnp.float32), zeros))
+        else:
+            d_loss, d_grads = jax.value_and_grad(d_fn)(state.params_d)
+        if axis is not None:
+            d_grads = jax.lax.pmean(d_grads, axis)
+
+        if self.clipper is not None:
+            g_grads = self.clipper(g_grads)
+            d_grads = self.clipper(d_grads)
+
+        return dict(g_grads=g_grads, d_grads=d_grads, d_loss=d_loss,
+                    do_d=do_d, losses=losses, loss_vq=loss_vq,
+                    new_vq_state=new_vq_state, num_replaces=num_replaces,
+                    finite=finite, new_bal=new_bal, ema_logs=ema_logs)
+
+    # -- the step ------------------------------------------------------------
+    def train_step(self, state: TrainState, wav_r: jnp.ndarray,
+                   key: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
+        """wav_r: [B, 1, T] local shard. Returns (new_state, metrics)."""
+        axis = self.axis_name
+        aux = self.compute_grads(state, wav_r, key)
+        finite, do_d = aux["finite"], aux["do_d"]
+
+        lr_g = self.sched_g(self.lr_g, state.iteration,
+                            state.epoch) * state.lr_scale
+        upd_g, new_opt_g = self.optim_g.update(aux["g_grads"], state.opt_g,
                                                state.params_g, lr_g)
         params_g = jax.tree.map(
             lambda p, u: jnp.where(finite, p + u, p), state.params_g, upd_g)
@@ -173,24 +225,12 @@ class Trainer:
         # VQ codebooks only advance on successful steps too? The reference
         # updates them inside the forward regardless of balancer success —
         # keep that behavior (EMA stats are grad-free).
-        vq_state = new_vq_state
+        vq_state = aux["new_vq_state"]
 
-        # ---- discriminator update ------------------------------------------
-        def d_fn(params_d):
-            lg, _ = self.disc.apply(params_d, wav_g_sg)
-            lr_logits, _ = self.disc.apply(params_d, wav_r_in)
-            return self._d_loss_fn(lg, lr_logits)
-
-        d_loss, d_grads = jax.value_and_grad(d_fn)(state.params_d)
-        if axis is not None:
-            d_grads = jax.lax.pmean(d_grads, axis)
-        lr_d = self.sched_d(self.lr_d, state.iteration, state.epoch)
-        upd_d, new_opt_d = self.optim_d.update(d_grads, state.opt_d,
+        lr_d = self.sched_d(self.lr_d, state.iteration,
+                            state.epoch) * state.lr_scale
+        upd_d, new_opt_d = self.optim_d.update(aux["d_grads"], state.opt_d,
                                                state.params_d, lr_d)
-        r0, r1 = self.disc_update_ratio
-        # wrapper.py:265: update D when (idx % r1) < r0
-        do_d = ((state.iteration + 1) % r1) < r0 if r1 > 1 else True
-        do_d = jnp.asarray(do_d)
         params_d = jax.tree.map(
             lambda p, u: jnp.where(do_d, p + u, p), state.params_d, upd_d)
         new_opt_d = jax.tree.map(
@@ -200,16 +240,17 @@ class Trainer:
 
         new_state = TrainState(
             params_g=params_g, params_d=params_d, vq_state=vq_state,
-            opt_g=new_opt_g, opt_d=new_opt_d, balancer=new_bal,
-            iteration=state.iteration + 1, epoch=state.epoch)
+            opt_g=new_opt_g, opt_d=new_opt_d, balancer=aux["new_bal"],
+            iteration=state.iteration + 1, epoch=state.epoch,
+            lr_scale=state.lr_scale)
 
-        metrics = {"loss/" + k: v for k, v in losses.items()}
-        metrics["loss/vq"] = loss_vq
-        metrics["loss/d"] = d_loss
+        metrics = {"loss/" + k: v for k, v in aux["losses"].items()}
+        metrics["loss/vq"] = aux["loss_vq"]
+        metrics["loss/d"] = aux["d_loss"]
         metrics["lr"] = lr_g
         metrics["finite"] = finite.astype(jnp.float32)
-        metrics["num_replaces"] = num_replaces
-        metrics.update(ema_logs)
+        metrics["num_replaces"] = aux["num_replaces"]
+        metrics.update(aux["ema_logs"])
         if axis is not None:
             metrics = jax.tree.map(
                 lambda x: jax.lax.pmean(x.astype(jnp.float32), axis)

@@ -97,7 +97,9 @@ def test_causal_convtr_batch_matches_torch(k, s, d, g, ch, rng):
 
     out = np.asarray(C.causal_conv_transpose1d(
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), s, d, g))
-    assert out.shape[-1] == L * s + d * (k - 1) + 1 - 1 - trim - (k - s) + (k - s) - (k - s) or True
+    # causal output length: full conv_transpose length minus the k-s right
+    # trim (causal_layers.py:168-188)
+    assert out.shape[-1] == (L - 1) * s + d * (k - 1) + 1 - trim
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-5)
 
 

@@ -148,3 +148,104 @@ def test_overfit_single_batch(rng):
         assert float(m["finite"]) == 1.0
     last = float(m["loss/freq"])
     assert last < first * 0.95, (first, last)
+
+
+def test_clip_grad_changes_updates(rng):
+    """clip_grad: norm_local with a tiny max_norm must change the applied
+    update (reference wrapper.py:252-257 clips every step)."""
+    import dataclasses
+    from hilcodec_tpu.train.grad_clip import make_clipper
+
+    base = tiny_trainer()
+    clipped = dataclasses.replace(
+        base, clipper=make_clipper("norm_local", {"max_norm": 1e-6}))
+    state = base.init_state(jax.random.PRNGKey(0))
+    hop = base.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+
+    s_base, _ = jax.jit(base.train_step)(state, jnp.asarray(wav),
+                                         jax.random.PRNGKey(1))
+    s_clip, m_clip = jax.jit(clipped.train_step)(state, jnp.asarray(wav),
+                                                 jax.random.PRNGKey(1))
+    assert float(m_clip["finite"]) == 1.0
+    diffs = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(s_base.params_g),
+                             jax.tree.leaves(s_clip.params_g))]
+    assert any(diffs), "clipping had no effect on the update"
+
+
+def test_disc_update_ratio_skips_d(rng):
+    """disc_update_ratio=[1,2]: D params move only on steps with
+    (idx % r1) < r0 (wrapper.py:265); the skipped step leaves D and its
+    optimizer state untouched."""
+    import dataclasses
+    trainer = dataclasses.replace(tiny_trainer(), disc_update_ratio=(1, 2))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    step = jax.jit(trainer.train_step)
+
+    # iteration 0: (0+1) % 2 = 1 >= r0=1 -> skip D
+    s1, m1 = step(state, jnp.asarray(wav), jax.random.PRNGKey(1))
+    # spectral-norm u buffers power-iterate every step; compare weights only
+    def weights(p):
+        return [l for kp, l in jax.tree_util.tree_flatten_with_path(p)[0]
+                if getattr(kp[-1], "key", None) != "u"]
+    for a, b in zip(weights(state.params_d), weights(s1.params_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m1["loss/d"]) == 0.0  # computation skipped, not masked
+
+    # iteration 1: (1+1) % 2 = 0 < 1 -> update D
+    s2, m2 = step(s1, jnp.asarray(wav), jax.random.PRNGKey(2))
+    moved = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(weights(s1.params_d), weights(s2.params_d))]
+    assert any(moved)
+    assert float(m2["loss/d"]) != 0.0
+
+
+def test_lr_scale_multiplies_lr(trainer, rng):
+    """TrainState.lr_scale (ReduceLROnPlateau host knob) scales the
+    effective LR inside the compiled step."""
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    step = jax.jit(trainer.train_step)
+    _, m1 = step(state, jnp.asarray(wav), jax.random.PRNGKey(1))
+    state_scaled = state._replace(lr_scale=jnp.asarray(0.5, jnp.float32))
+    _, m2 = step(state_scaled, jnp.asarray(wav), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m2["lr"]), float(m1["lr"]) * 0.5,
+                               rtol=1e-6)
+
+
+def test_reduce_lr_on_plateau_semantics():
+    """Reference step() behavior: initial_patience holds LR, then
+    `patience` bad epochs trigger a factor decay, cooldown suppresses
+    counting (optim/lr_scheduler.py:215-240)."""
+    from hilcodec_tpu.train.schedulers import ReduceLROnPlateau
+
+    sched = ReduceLROnPlateau(factor=0.5, patience=1, initial_patience=2,
+                              cooldown=1, threshold=1e-4)
+    st = sched.init_state()
+    # two epochs of non-improvement inside initial_patience: no decay
+    st = sched.update(st, 1.0)
+    st = sched.update(st, 1.0)   # bad_epochs=1 but epoch<=initial_patience
+    assert st["scale"] == 1.0
+    st = sched.update(st, 1.0)   # bad_epochs=2 > patience=1 -> decay
+    assert st["scale"] == 0.5
+    st = sched.update(st, 1.0)   # cooldown epoch: bad_epochs reset
+    assert st["scale"] == 0.5
+    st = sched.update(st, 1.0)   # bad_epochs=1, not > patience
+    assert st["scale"] == 0.5
+    st = sched.update(st, 1.0)   # bad_epochs=2 -> decay again
+    assert st["scale"] == 0.25
+    # improvement resets
+    st = sched.update(st, 0.1)
+    assert st["bad_epochs"] == 0 and st["best"] == 0.1
+    # min_lr floors the absolute LR given base_lr
+    sched2 = ReduceLROnPlateau(factor=0.1, patience=0, min_lr=1e-4)
+    st2 = sched2.init_state()
+    st2 = sched2.update(st2, 1.0)
+    st2 = sched2.update(st2, 1.0, base_lr=1e-3)
+    assert st2["scale"] == pytest.approx(0.1)
+    st2 = sched2.update(st2, 1.0, base_lr=1e-3)
+    assert st2["scale"] == pytest.approx(0.1)  # floored at min_lr/base_lr
