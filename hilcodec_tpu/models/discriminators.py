@@ -170,13 +170,17 @@ class MultiSTFTDiscriminator:
     win_lengths: Tuple[int, ...] = (1024, 2048, 512, 256, 128)
     filters_scale: int = 1
     magnitude: bool = False
+    log_magnitude: bool = False   # only applies to the magnitude branch
+    eps: float = 1e-5             # (discriminators.py:124-125)
     norm: str = R.WEIGHT_NORM
 
     def __post_init__(self):
         discs = tuple(
             STFTDiscriminator(self.filters, n_fft=n, hop_length=h,
                               win_length=w, filters_scale=self.filters_scale,
-                              magnitude=self.magnitude, norm=self.norm)
+                              magnitude=self.magnitude,
+                              log_magnitude=self.log_magnitude,
+                              eps=self.eps, norm=self.norm)
             for n, h, w in zip(self.n_ffts, self.hop_lengths,
                                self.win_lengths))
         object.__setattr__(self, "discs", discs)

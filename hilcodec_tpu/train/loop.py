@@ -26,33 +26,30 @@ from ..models.losses import HifiGANMelLoss, MelGradLoss, MelLoss
 from ..utils import checkpoint as ckpt
 from ..utils import summarize as S
 from .balancer import Balancer
+from .grad_clip import make_clipper
 from .metrics import Metrics
 from .optim import make_optimizer
-from .schedulers import make_scheduler
+from .schedulers import ReduceLROnPlateau, make_scheduler
 from .step import Trainer, TrainState, make_parallel_train_step
 
 
-def build_trainer(hps, axis_name: Optional[str] = None) -> Trainer:
-    """Construct the Trainer from a reference-format config
-    (wrapper.py:33-145)."""
-    model = CodecModel.from_config(hps.model_kwargs.to_dict())
-    disc = Discriminators(**{k: v.to_dict() if hasattr(v, "to_dict") else v
-                             for k, v in hps.disc_kwargs.items()})
+def _mel_loss_from_config(hps):
     hp = hps.train
     sr = hps.data.sampling_rate
     if hp.get("hifigan_mel_loss", False):
-        mel = HifiGANMelLoss(sr, hps.data.clip_val, hps.data.n_fft,
-                             hps.data.get("num_mels", 80),
-                             hps.data.hop_size, hps.data.win_size)
-    elif hp.get("mel_grad_function", False):
-        mel = MelGradLoss(sr, hps.data.clip_val,
-                          hp.get("n_mels_max", 80), hp.get("mel_norm"))
-    else:
-        mel = MelLoss(sr, hps.data.clip_val,
-                      no_zero=hp.get("no_zero_at_mel_filter", True),
-                      n_mels_max=hp.get("n_mels_max", 80))
-    balancer = Balancer.from_config(hp.balancer_kwargs.to_dict())
+        return HifiGANMelLoss(sr, hps.data.clip_val, hps.data.n_fft,
+                              hps.data.get("num_mels", 80),
+                              hps.data.hop_size, hps.data.win_size)
+    if hp.get("mel_grad_function", False):
+        return MelGradLoss(sr, hps.data.clip_val,
+                           hp.get("n_mels_max", 80), hp.get("mel_norm"))
+    return MelLoss(sr, hps.data.clip_val,
+                   no_zero=hp.get("no_zero_at_mel_filter", True),
+                   n_mels_max=hp.get("n_mels_max", 80))
 
+
+def _optim_sched_from_config(hps):
+    hp = hps.train
     opt_groups = [g.to_dict() if hasattr(g, "to_dict") else g
                   for g in hp.get("optimizer_groups", [])] or None
     optim_g, lr_g = make_optimizer(hp.optimizer,
@@ -67,6 +64,69 @@ def build_trainer(hps, axis_name: Optional[str] = None) -> Trainer:
                                       "to_dict")
                            else hp.get("scheduler_kwargs", {}),
                            hp.max_epochs)
+    clip_kw = hp.get("clip_grad_kwargs", {})
+    clipper = make_clipper(
+        hp.clip_grad, clip_kw.to_dict() if hasattr(clip_kw, "to_dict")
+        else clip_kw) if hp.get("clip_grad") else None
+    return optim_g, optim_d, lr_g, lr_d, sched, clipper
+
+
+def build_avocodo_trainer(hps, axis_name: Optional[str] = None):
+    """Avocodo family trainer from config (reference
+    models/avocodo/wrapper.py:29-145: LSGAN + plain FM, simple weighted-sum
+    balancer, D-before-G, PQMF multi-scale targets)."""
+    from ..models.avocodo import AvocodoDiscriminators, AvocodoModel
+    from ..models.registry import _vq_from_kwargs
+    from .balancer import SimpleBalancer
+    from .step_avocodo import AvocodoCodecModel, AvocodoTrainer
+
+    mk = hps.model_kwargs.to_dict()
+    model = AvocodoModel.from_config(mk)
+    vq = _vq_from_kwargs(mk.get("vq_kwargs", {}))
+    disc = AvocodoDiscriminators(
+        **{k: v.to_dict() if hasattr(v, "to_dict") else v
+           for k, v in hps.disc_kwargs.items()})
+    hp = hps.train
+    optim_g, optim_d, lr_g, lr_d, sched, clipper = \
+        _optim_sched_from_config(hps)
+    pqmf_config = {k: tuple(v) for k, v in
+                   hps.pqmf_config.to_dict().items()}
+    return AvocodoTrainer(
+        model=AvocodoCodecModel(model, vq), disc=disc,
+        mel_loss=_mel_loss_from_config(hps),
+        balancer=SimpleBalancer.from_config(hp.balancer_kwargs.to_dict()),
+        optim_g=optim_g, optim_d=optim_d, sched_g=sched, sched_d=sched,
+        lr_g=lr_g, lr_d=lr_d, pqmf_config=pqmf_config,
+        use_lsgan=hp.get("use_lsgan", True),
+        use_normalized_fm=hp.get("use_normalized_fm_loss", False),
+        axis_name=axis_name, clipper=clipper)
+
+
+def build_trainer(hps, axis_name: Optional[str] = None):
+    """Construct the per-family trainer from a reference-format config —
+    the model-zoo dispatch of reference models/__init__.py:4-11.
+    hilcodec/encodec share the balancer GAN step (both are CodecModels);
+    avocodo gets its own trainer; audiodec is streaming/deploy-only in the
+    reference (no training wrapper exists there either)."""
+    name = hps.get("model", "hilcodec")
+    if name == "avocodo":
+        return build_avocodo_trainer(hps, axis_name)
+    if name == "audiodec":
+        raise ValueError(
+            "model: audiodec is deploy-only (the reference has no audiodec "
+            "training wrapper; weights are imported — SURVEY.md §2.8)")
+    if name not in ("hilcodec", "encodec"):
+        raise ValueError(f"unknown model {name!r}")
+
+    from ..models.registry import build_model
+    model = build_model(name, hps.model_kwargs.to_dict())
+    disc = Discriminators(**{k: v.to_dict() if hasattr(v, "to_dict") else v
+                             for k, v in hps.disc_kwargs.items()})
+    hp = hps.train
+    mel = _mel_loss_from_config(hps)
+    balancer = Balancer.from_config(hp.balancer_kwargs.to_dict())
+    optim_g, optim_d, lr_g, lr_d, sched, clipper = \
+        _optim_sched_from_config(hps)
     return Trainer(
         model=model, disc=disc, mel_loss=mel, balancer=balancer,
         optim_g=optim_g, optim_d=optim_d, sched_g=sched, sched_d=sched,
@@ -74,15 +134,20 @@ def build_trainer(hps, axis_name: Optional[str] = None) -> Trainer:
         use_normalized_fm=hp.get("use_normalized_fm_loss", True),
         lookahead=hp.get("lookahead", 0),
         disc_update_ratio=tuple(hp.get("disc_update_ratio", (1, 1))),
-        axis_name=axis_name)
+        axis_name=axis_name, clipper=clipper)
 
 
 class TrainLoop:
     def __init__(self, hps, run_dir: Optional[str] = None):
         self.hps = hps
         self.run_dir = run_dir or hps.get("model_dir", "logs/run")
-        self.devices = jax.local_devices()
-        self.n_dev = len(self.devices)
+        # the dp mesh spans ALL devices (all hosts); each process feeds its
+        # local shard of the global batch (reference: 1 proc = 1 GPU DDP;
+        # here 1 proc = 1 host, SURVEY.md §2.11 TPU-native equivalent)
+        self.devices = jax.devices()
+        self.n_dev = len(jax.local_devices())
+        self.n_proc = jax.process_count()
+        self.proc = jax.process_index()
         self.mesh = Mesh(np.array(self.devices), ("dp",))
         self.trainer = build_trainer(hps, axis_name="dp")
         self.step_fn = make_parallel_train_step(self.trainer, self.mesh,
@@ -98,7 +163,7 @@ class TrainLoop:
             num_workers=hps.get("pesq", {}).get("num_workers_executor", 4))
 
         self.train_ds, self.train_loader = get_dataset_dataloader(
-            hps, "train", ["wav"], num_shards=1, shard=0)
+            hps, "train", ["wav"], num_shards=self.n_proc, shard=self.proc)
         # config batch_size is per device (reference: per GPU); one host
         # feeds all local chips
         self.train_loader.batch_size *= self.n_dev
@@ -116,6 +181,48 @@ class TrainLoop:
         self.writer_train = None
         self.writer_valid = None
 
+        self.plot_param_and_grad = hps.train.get("plot_param_and_grad",
+                                                 False)
+        self._grads_fn = None  # lazily jitted single-device compute_grads
+        # ReduceLROnPlateau is driven host-side from the valid metric
+        # (reference lr_scheduler.py docstring: "step should be called
+        # after validate()"); other schedulers live inside the step.
+        sched = self.trainer.sched_g
+        self.plateau = sched if isinstance(sched, ReduceLROnPlateau) \
+            else None
+        self.plateau_state = self.plateau.init_state() if self.plateau \
+            else None
+        self.scheduler_metric = hps.train.get("scheduler_metric",
+                                              "loss/freq")
+        # becomes True once self.state has been replicated onto the global
+        # mesh (multi-process runs only)
+        self._state_global = False
+
+    # -- multi-process array plumbing ----------------------------------------
+    def _replicate(self, tree):
+        """Replicate a (process-identical) pytree onto the global mesh."""
+        if self.n_proc == 1:
+            return tree
+        sharding = NamedSharding(self.mesh, P())
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+
+    def _shard_batch(self, wav: np.ndarray) -> jnp.ndarray:
+        """Local [B,1,T] shard -> global batch array sharded on 'dp'."""
+        if self.n_proc == 1:
+            return jnp.asarray(wav)
+        sharding = NamedSharding(self.mesh, P("dp"))
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(wav))
+
+    def _local_state(self):
+        """Host-local copy of the state for eval paths that run outside
+        the global mesh (valid/infer/pesq use plain per-process jit)."""
+        if self.n_proc > 1 and self._state_global:
+            return jax.device_get(self.state)
+        return self.state
+
     # -- state management ---------------------------------------------------
     def init_or_resume(self) -> None:
         self.state = self.trainer.init_state(jax.random.PRNGKey(self.seed))
@@ -127,22 +234,39 @@ class TrainLoop:
             self.metrics.load_state_dict(
                 {k[5:]: float(v) for k, v in extras.items()
                  if k.startswith("best_")})
+            if self.plateau_state is not None:
+                for k in list(self.plateau_state):
+                    if f"plateau_{k}" in extras:
+                        v = extras[f"plateau_{k}"].item()
+                        self.plateau_state[k] = type(
+                            self.plateau_state[k])(v)
             print(f"resumed from {path} (epoch {self.epoch})")
 
     def save(self) -> str:
         extra = {"epoch": self.epoch}
         for k, v in self.metrics.state_dict().items():
             extra[f"best_{k}"] = v
+        if self.plateau_state is not None:
+            for k, v in self.plateau_state.items():
+                extra[f"plateau_{k}"] = v
         return ckpt.save_checkpoint(self.run_dir, self.epoch, self.state,
                                     extra)
 
     # -- warm-up initialization (wrapper.initialize) ------------------------
     def initialize_vq(self, wav: np.ndarray) -> None:
-        """k-means VQ init on the first batch (wrapper.py:169-206)."""
+        """k-means VQ init on the first batch (wrapper.py:169-206). Runs on
+        process-local state BEFORE mesh replication; with multiple
+        processes the batch is allgathered first so every process computes
+        the identical codebook (replicated determinism replaces the
+        reference's rank-0 broadcast, vector_quantize.py:104-105)."""
         if not self.trainer.model.vq.kmeans_init:
             return
         if bool(np.asarray(self.state.vq_state["initted"])):
             return
+        if self.n_proc > 1:
+            from jax.experimental import multihost_utils
+            gathered = multihost_utils.process_allgather(jnp.asarray(wav))
+            wav = np.asarray(gathered).reshape(-1, *wav.shape[1:])
 
         @jax.jit
         def encode(params, wav):
@@ -168,35 +292,55 @@ class TrainLoop:
                                                 wav.dtype)])
         return wav
 
-    def train_epoch(self) -> Dict[str, float]:
+    def train_epoch(self, hists: Optional[Dict[str, np.ndarray]] = None
+                    ) -> Dict[str, float]:
         t0 = time.time()
         sums: Dict[str, float] = {}
         n_items = 0
         n_steps = len(self.train_loader)
         replaces_total = None
+        # metric trees stay on-device between progress prints; `float()`ing
+        # every step would force a device->host sync per step
+        pending: List[Any] = []
+
+        def flush():
+            nonlocal replaces_total, n_items
+            for bsz, mt in pending:
+                mt = jax.device_get(mt)
+                n_items += bsz
+                for k, v in mt.items():
+                    if k.startswith("loss/"):
+                        sums[k] = sums.get(k, 0.0) + float(v) * bsz
+                rep = np.asarray(mt["num_replaces"])
+                replaces_total = rep if replaces_total is None \
+                    else replaces_total + rep
+            pending.clear()
+
+        m = None
         for idx, batch in enumerate(self.train_loader, start=1):
             wav = self._batch_wav(batch)
             if idx == 1:
                 self.initialize_vq(wav)
+                if self.n_proc > 1 and not self._state_global:
+                    self.state = self._replicate(self.state)
+                    self._state_global = True
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                      int(self.state.iteration))
-            self.state, m = self.step_fn(self.state, jnp.asarray(wav), key)
-            bsz = batch["wav"].shape[0]
-            n_items += bsz
-            for k, v in m.items():
-                if k.startswith("loss/"):
-                    sums[k] = sums.get(k, 0.0) + float(v) * bsz
-            if replaces_total is None:
-                replaces_total = np.asarray(m["num_replaces"])
-            else:
-                replaces_total = replaces_total + np.asarray(
-                    m["num_replaces"])
+            if idx == n_steps and self.plot_param_and_grad \
+                    and hists is not None and self.n_proc == 1:
+                self._dump_param_and_grad_hists(hists, jnp.asarray(wav),
+                                                key)
+            self.state, m = self.step_fn(self.state,
+                                         self._shard_batch(wav), key)
+            pending.append((batch["wav"].shape[0], m))
             if idx % 10 == 0 or idx == n_steps:
+                flush()
                 line = f"Epoch {self.epoch} - Train {idx}/{n_steps}"
                 for k, v in sums.items():
                     line += f"  {k.split('/')[1]}: {v / n_items:.3f}"
                 line += f"  lr: {float(m['lr']):.2e}"
                 S.progress_line(line)
+        flush()
         print()
         scalars = {k: v / max(n_items, 1) for k, v in sums.items()}
         scalars["lr"] = float(m["lr"]) if n_steps else 0.0
@@ -208,16 +352,36 @@ class TrainLoop:
         self.state = self.state._replace(epoch=self.state.epoch + 1)
         return scalars
 
+    def _dump_param_and_grad_hists(self, hists: Dict[str, np.ndarray],
+                                   wav: jnp.ndarray, key: jax.Array) -> None:
+        """plot_param_and_grad on the epoch's last batch (wrapper.py:254,
+        274): recompute the step's grads (deterministic in (state, wav,
+        key)) without the parallel axis and dump histograms."""
+        import dataclasses as _dc
+        if self._grads_fn is None:
+            local = _dc.replace(self.trainer, axis_name=None)
+
+            @jax.jit
+            def grads(state, wav, key):
+                aux = local.compute_grads(state, wav, key)
+                return aux["g_grads"], aux["d_grads"]
+
+            self._grads_fn = grads
+        g_grads, d_grads = self._grads_fn(self.state, wav, key)
+        S.plot_param_and_grad(hists, self.state.params_g, g_grads, "model")
+        S.plot_param_and_grad(hists, self.state.params_d, d_grads, "disc")
+
     def valid_epoch(self) -> Dict[str, float]:
         if self.valid_loader is None:
             return {}
         sums: Dict[str, float] = {}
         n_items = 0
+        state = self._local_state()
         for batch in self.valid_loader:
             wav = batch["wav"]
             if wav.ndim == 2:
                 wav = wav[:, None, :]
-            losses = self.valid_fn(self.state, jnp.asarray(wav),
+            losses = self.valid_fn(state, jnp.asarray(wav),
                                    jax.random.PRNGKey(0))
             bsz = wav.shape[0]
             n_items += bsz
@@ -225,13 +389,29 @@ class TrainLoop:
                 sums[k] = sums.get(k, 0.0) + float(v) * bsz
         return {k: v / max(n_items, 1) for k, v in sums.items()}
 
-    def infer_epoch(self) -> Dict[str, np.ndarray]:
+    def _log_mel(self, wav: np.ndarray) -> np.ndarray:
+        """log-mel image for infer epochs (reference mel_spectrogram,
+        functional/audio_functional.py:231-258)."""
+        from ..ops import stft as ST
+        from ..ops.mel import mel_filterbank
+        d = self.hps.data
+        n_fft, hop = d.n_fft, d.hop_size
+        basis = mel_filterbank(d.sampling_rate, n_fft,
+                               d.get("num_mels", 80))
+        mag = np.asarray(ST.stft(jnp.asarray(wav[None]), n_fft, hop,
+                                 d.win_size))
+        mel = basis @ mag[0]
+        return np.log(np.clip(mel, d.get("clip_val", 1e-5), None))
+
+    def infer_epoch(self) -> Tuple[Dict[str, np.ndarray],
+                                   Dict[str, np.ndarray]]:
         """Reconstruct the infer filelist at infer_n bitrate for TensorBoard
-        audio (wrapper.py:382-405)."""
+        audio + log-mel spectrogram images (wrapper.py:382-405)."""
         if self.infer_loader is None:
-            return {}
+            return {}, {}
         n = self.hps.train.get("infer_n", None)
-        audios = {}
+        audios: Dict[str, np.ndarray] = {}
+        specs: Dict[str, np.ndarray] = {}
         model = self.trainer.model
 
         @jax.jit
@@ -241,15 +421,18 @@ class TrainLoop:
                 n=jnp.asarray(n) if n else None, training=False)
             return wav_g
 
+        state = self._local_state()
         for i, batch in enumerate(self.infer_loader):
             wav = batch["wav"]
             if wav.ndim == 2:
                 wav = wav[:, None, :]
-            wav_g = np.asarray(reconstruct(self.state, jnp.asarray(wav)))
-            audios[f"infer/gen_{i}"] = wav_g[0, 0]
-            if self.epoch == 0:
-                audios[f"infer/real_{i}"] = wav[0, 0]
-        return audios
+            wav_g = np.asarray(reconstruct(state, jnp.asarray(wav)))
+            audios[f"gen/wav_{i}"] = wav_g[0, 0]
+            specs[f"gen/mel_{i}"] = self._log_mel(wav_g[0, 0])
+            if self.epoch <= 1:
+                audios[f"gt/wav_{i}"] = wav[0, 0]
+                specs[f"gt/mel_{i}"] = self._log_mel(np.asarray(wav[0, 0]))
+        return audios, specs
 
     def pesq_epoch(self) -> Dict[str, float]:
         if not self.metrics.enabled:
@@ -269,11 +452,12 @@ class TrainLoop:
                 n=jnp.asarray(n) if n else None, training=False)
             return wav_g
 
+        state = self._local_state()
         for batch in loader:
             wav = batch["wav"]
             if wav.ndim == 2:
                 wav = wav[:, None, :]
-            wav_g = np.asarray(reconstruct(self.state, jnp.asarray(wav)))
+            wav_g = np.asarray(reconstruct(state, jnp.asarray(wav)))
             self.metrics.submit(wav[:, 0], wav_g[:, 0])
         return self.metrics.retrieve()
 
@@ -297,22 +481,34 @@ class TrainLoop:
             self.epoch += 1
             if hasattr(self.train_ds, "shuffle"):
                 self.train_ds.shuffle(self.seed + self.epoch)
-            scalars = self.train_epoch()
-            S.summarize(self.writer_train, self.epoch, scalars, echo=False)
+            hists: Dict[str, np.ndarray] = {}
+            scalars = self.train_epoch(hists=hists)
+            S.summarize(self.writer_train, self.epoch, scalars,
+                        hists=hists or None, echo=False)
 
             valid = self.valid_epoch()
             if valid:
                 S.summarize(self.writer_valid, self.epoch, valid,
                             echo=False)
+            if self.plateau is not None:
+                metric = valid.get(self.scheduler_metric,
+                                   scalars.get(self.scheduler_metric))
+                if metric is not None:
+                    self.plateau_state = self.plateau.update(
+                        self.plateau_state, metric,
+                        base_lr=self.trainer.lr_g)
+                    self.state = self.state._replace(
+                        lr_scale=jnp.asarray(self.plateau_state["scale"],
+                                             jnp.float32))
             if self.epoch % pesq_interval == 0:
                 for k, v in self.pesq_epoch().items():
                     self.writer_valid.add_scalar(f"metric/{k}", v,
                                                  self.epoch)
             if self.epoch % infer_interval == 0:
-                audios = self.infer_epoch()
+                audios, specs = self.infer_epoch()
                 if audios:
                     S.summarize(self.writer_valid, self.epoch,
-                                audios=audios,
+                                audios=audios, specs=specs,
                                 sampling_rate=hps.data.sampling_rate,
                                 echo=False)
             if self.epoch % save_interval == 0:

@@ -10,7 +10,8 @@ from hilcodec_tpu.ops.rvq import ResidualVQ
 from hilcodec_tpu.train.balancer import SimpleBalancer
 from hilcodec_tpu.train.optim import make_optimizer
 from hilcodec_tpu.train.schedulers import EmptyScheduler
-from hilcodec_tpu.train.step_avocodo import AvocodoTrainer
+from hilcodec_tpu.train.step_avocodo import (AvocodoCodecModel,
+                                             AvocodoTrainer)
 
 
 def test_avocodo_train_step(rng):
@@ -37,7 +38,8 @@ def test_avocodo_train_step(rng):
     opt_g, lr = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9]})
     opt_d, _ = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9]})
     trainer = AvocodoTrainer(
-        model=model, vq=vq, disc=disc, mel_loss=MelLoss(24000, n_mels_max=8),
+        model=AvocodoCodecModel(model, vq), disc=disc,
+        mel_loss=MelLoss(24000, n_mels_max=8),
         balancer=SimpleBalancer.from_config(
             {"weights": {"freq": 45, "combd_g": 1.0, "combd_fm": 2.0},
              "weight_others": 0.01}),

@@ -131,3 +131,123 @@ def test_pesq_epoch_stoi(corpus, tmp_path):
     assert "stoi" in out
     assert 0.0 <= out["stoi"] <= 1.0 or np.isnan(out["stoi"]) is False
     assert loop.metrics.best["stoi"] == out["stoi"]
+
+
+def avocodo_hps(root):
+    """Tiny avocodo family config (model-zoo dispatch: reference
+    models/__init__.py:4-11 -> models/avocodo/wrapper.py)."""
+    hps = tiny_hps(root)
+    hps.model = "avocodo"
+    hps.model_kwargs = type(hps.model_kwargs)(**{
+        "channels_enc": 8, "channels_dec": 8, "n_fft_base": 16,
+        "n_residual_enc": 1, "n_residual_dec": 1,
+        "res_scale_enc": 0.577, "res_scale_dec": 0.577,
+        # 3 decoder heads land on 1/8, 1/2, full rate (PQMF lv2/lv1 ladder)
+        "strides": [4, 2, 4, 2],
+        "vq_kwargs": {"dim": 16, "codebook_size": 32, "num_quantizers": 2,
+                      "kmeans_init": True, "decay": 0.99,
+                      "ema_num_threshold": 0.5, "ema_num_initial": 0.5},
+    })
+    hps.disc_kwargs = type(hps.disc_kwargs)(**{
+        "combd_kwargs": {"use": True, "h": {
+            "combd_h_u": [[4, 8], [4, 8], [4, 8]],
+            "combd_d_k": [[7, 5], [11, 5], [15, 5]],
+            "combd_d_s": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_d": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_g": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_p": [[3, 2], [5, 2], [7, 2]],
+            "combd_op_f": [1, 1, 1], "combd_op_k": [3, 3, 3],
+            "combd_op_g": [1, 1, 1],
+            "pqmf_config": {"lv1": [2, 256, 0.25, 10.0],
+                            "lv2": [8, 256, 0.067, 10.0]}}},
+    })
+    hps.pqmf_config = type(hps.disc_kwargs)(**{
+        "lv1": [2, 256, 0.25, 10.0], "lv2": [8, 256, 0.067, 10.0]})
+    hps.train.use_lsgan = True
+    hps.train.use_normalized_fm_loss = False
+    hps.train.balancer_kwargs = type(hps.train.balancer_kwargs)(**{
+        "weights": {"freq": 45, "combd_g": 1.0, "combd_fm": 2.0},
+        "weight_others": 0.01})
+    hps.data.segment_size = 2048
+    return hps
+
+
+def test_train_loop_avocodo_family(corpus, tmp_path):
+    """`model: avocodo` trains through the real epoch loop with CoMBD
+    losses, checkpoints, and resumes (VERDICT item 2)."""
+    from hilcodec_tpu.train.loop import TrainLoop
+    from hilcodec_tpu.train.step_avocodo import AvocodoTrainer
+
+    hps = avocodo_hps(corpus)
+    run_dir = str(tmp_path / "avo_run")
+    loop = TrainLoop(hps, run_dir=run_dir)
+    assert isinstance(loop.trainer, AvocodoTrainer)
+    loop.init_or_resume()
+    loop.run(max_epochs=1)
+    assert loop.epoch == 1
+    ep, path = latest_checkpoint(run_dir)
+    assert ep == 1
+    # CoMBD losses flowed through valid as well
+    valid = loop.valid_epoch()
+    assert any(k.startswith("loss/combd") for k in valid), valid
+
+    loop2 = TrainLoop(hps, run_dir=run_dir)
+    loop2.init_or_resume()
+    assert loop2.epoch == 1
+    for a, b in zip(jax.tree.leaves(loop.state.params_g),
+                    jax.tree.leaves(loop2.state.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_loop_encodec_family(corpus, tmp_path):
+    """`model: encodec` trains through the generic balancer trainer."""
+    from hilcodec_tpu.train.loop import TrainLoop
+    from hilcodec_tpu.models.encodec import EncodecModel
+
+    hps = tiny_hps(corpus)
+    hps.model = "encodec"
+    hps.model_kwargs = type(hps.model_kwargs)(**{
+        "channels_enc": 4, "channels_dec": 4, "n_residual_layers": 1,
+        "strides": [4, 2], "kernel_size": 7, "last_kernel_size": 7,
+        "residual_kernel_size": 3, "dilation_base": 2, "true_skip": False,
+        "compress": 2, "lstm": 1,
+        "vq_kwargs": {"dim": 16, "codebook_size": 32,
+                      "num_quantizers": 2, "kmeans_init": False,
+                      "dropout": True},
+    })
+    hps.train.balancer_kwargs = type(hps.train.balancer_kwargs)(**{
+        "weights": {"freq": 0.48, "mfbd_g": 1.1, "mfbd_fm": 1.1,
+                    "mstftd_g": 1.1, "mstftd_fm": 1.1},
+        "weight_others": 0.01, "ema_decay": 0.99})
+    run_dir = str(tmp_path / "enc_run")
+    loop = TrainLoop(hps, run_dir=run_dir)
+    assert isinstance(loop.trainer.model.codec, EncodecModel)
+    loop.init_or_resume()
+    loop.run(max_epochs=1)
+    assert loop.epoch == 1
+    assert latest_checkpoint(run_dir)[0] == 1
+
+
+def test_train_loop_plateau_and_hists(corpus, tmp_path):
+    """ReduceLROnPlateau decays TrainState.lr_scale from the valid metric,
+    and plot_param_and_grad dumps histograms (VERDICT item 5)."""
+    from hilcodec_tpu.train.loop import TrainLoop
+
+    hps = tiny_hps(corpus)
+    hps.train.scheduler = "ReduceLROnPlateau"
+    hps.train.scheduler_kwargs = type(hps.train.scheduler_kwargs)(**{
+        "factor": 0.5, "patience": 0, "threshold": 1.0})
+    hps.train.plot_param_and_grad = True
+    loop = TrainLoop(hps, run_dir=str(tmp_path / "plat_run"))
+    loop.init_or_resume()
+    # threshold=1.0 (rel) makes every epoch "not better" (a < best*0 never
+    # holds for positive losses), so patience=0 decays the scale each epoch
+    loop.run(max_epochs=2)
+    assert loop.plateau_state["scale"] < 1.0
+    assert float(loop.state.lr_scale) == loop.plateau_state["scale"]
+    # histograms were dumped for params and grads of both networks
+    hists = {}
+    loop.train_epoch(hists=hists)
+    assert any(k.startswith("model/") for k in hists)
+    assert any(k.startswith("model_grad/") for k in hists)
+    assert any(k.startswith("disc_grad/") for k in hists)
