@@ -35,12 +35,61 @@ def _numpy_rvq(x, books, n):
     return np.stack(out)
 
 
+def _numpy_rvq_with_residuals(x, books, n):
+    B, T, C = x.shape
+    residual = x.reshape(B * T, C).astype(np.float32)
+    out, residuals = [], []
+    for i in range(n):
+        e = books[i]
+        dist = -((residual ** 2).sum(1, keepdims=True)
+                 - 2.0 * residual @ e.T
+                 + (e ** 2).sum(1)[None, :])
+        idx = dist.argmax(-1)
+        out.append(idx)
+        residuals.append(residual.copy())
+        residual = residual - e[idx]
+    return np.stack(out), residuals
+
+
+def assert_token_parity_exact_or_fp_tie(ours, latents, books, n):
+    """Token parity bar (BASELINE.md "bit-identical RVQ tokens"): every
+    token must equal the numpy restatement of the ONNX cascade EXACTLY,
+    except positions that are provable f32 ties — where the float64
+    distance gap between the two chosen codewords is below the f32
+    accumulation error bound of the C-term distance reduction,
+    2*C*eps_f32*d (C=128 -> rel gap < ~3.1e-5). Only first-divergence
+    positions are tie-checked (later stages see different residuals by
+    construction). Measured populations are recorded in PARITY.md."""
+    ref, residuals = _numpy_rvq_with_residuals(latents, books, n)
+    ref = ref.reshape(n, -1)
+    ours = np.asarray(ours).reshape(n, -1)
+    mism = ref != ours
+    # the mismatch population must be tiny even when ties exist
+    assert mism.mean() <= 1e-3, f"mismatch rate {mism.mean()}"
+    C = books.shape[-1]
+    tie_bound = 2.0 * C * np.finfo(np.float32).eps
+    for s in range(n):
+        for p in np.where(mism[s])[0]:
+            if s > 0 and (ref[:s, p] != ours[:s, p]).any():
+                continue  # downstream of an earlier (tie) divergence
+            r = residuals[s][p].astype(np.float64)
+            e = books[s].astype(np.float64)
+            d = ((r[None, :] - e) ** 2).sum(1)
+            a, b = ref[s, p], ours[s, p]
+            gap = abs(d[a] - d[b])
+            rel = gap / max(d[a], d[b], 1e-12)
+            assert rel < tie_bound, (
+                f"stage {s} pos {p}: idx {a} vs {b} is NOT an fp tie "
+                f"(rel gap {rel:.3e} >= {tie_bound:.3e})")
+
+
 def test_quantize_matches_numpy_reference(speech_books, rng):
     x = (rng.standard_normal((2, 50, 128)) * 2).astype(np.float32)
+    out = Q.quantize(jnp.asarray(x), jnp.asarray(speech_books))
+    assert_token_parity_exact_or_fp_tie(out, x, speech_books, 8)
+    # on this platform the agreement is in fact exact (PARITY.md)
     ref = _numpy_rvq(x, speech_books, 8)
-    out = np.asarray(Q.quantize(jnp.asarray(x), jnp.asarray(speech_books)))
-    match = (ref == out).mean()
-    assert match > 0.999, f"token match rate {match}"
+    assert (ref == np.asarray(out)).mean() == 1.0
 
 
 def test_quantize_parity_on_golden_latents(speech_books, reference_dir):
@@ -50,13 +99,12 @@ def test_quantize_parity_on_golden_latents(speech_books, reference_dir):
     implementations must agree on the same input."""
     tok = np.load(os.path.join(reference_dir, "onnx",
                                "hil_speech_quantized.npy")).astype(np.int32)
-    tok = tok[:, :, :400]
     books = jnp.asarray(speech_books)
     latents = np.asarray(Q.dequantize(jnp.asarray(tok), books))
+    out = Q.quantize(jnp.asarray(latents), books)
+    assert_token_parity_exact_or_fp_tie(out, latents, speech_books, 8)
     ref = _numpy_rvq(latents, speech_books, 8)
-    out = np.asarray(Q.quantize(jnp.asarray(latents), books))
-    match = (ref == out).mean()
-    assert match > 0.999, f"token parity {match}"
+    assert (ref == np.asarray(out)).mean() == 1.0
 
 
 def test_single_codeword_is_fixed_point(speech_books):
