@@ -46,6 +46,13 @@ def _decoder_megakernel(decoder, block_streams: int, interpret: bool):
                              interpret=interpret)
 
 
+@functools.lru_cache(maxsize=16)
+def _encoder_megakernel(encoder, block_streams: int, interpret: bool):
+    from ..ops.pallas_encoder import EncoderMegakernel
+    return EncoderMegakernel(encoder, block_streams=block_streams,
+                             interpret=interpret)
+
+
 @dataclasses.dataclass(frozen=True)
 class CodecModel:
     """HILCodec + ResidualVQ bundle built from a reference YAML config."""
@@ -109,13 +116,17 @@ class CodecModel:
     def encode_stream(self, params: Params, vq_state: Q.VQState,
                       wav: jnp.ndarray, cache: List[jnp.ndarray],
                       n: Optional[int] = None,
-                      frames_per_step: int = 1
+                      frames_per_step: int = 1,
+                      megakernel: Optional[bool] = None,
+                      megakernel_interpret: bool = False
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Streaming encode via lax.scan over frame blocks.
 
         wav [B, 1, T] with T = hop * L, L divisible by frames_per_step.
         Returns (tokens [n, B, L], new_cache). One compiled program per
-        (B, frames_per_step) shape.
+        (B, frames_per_step) shape. megakernel=None auto-selects the fused
+        Pallas encoder-frame kernel on TPU (ops/pallas_encoder.py); the
+        spec branch and the fused RVQ stay MXU matmuls either way.
         """
         hop = self.hop_length
         B = wav.shape[0]
@@ -124,14 +135,30 @@ class CodecModel:
         xs = wav.reshape(B, 1, blocks, frames_per_step * hop)
         xs = jnp.moveaxis(xs, 2, 0)          # [blocks, B, 1, hop*f]
         books = vq_state["embed"]
+        if megakernel is None:
+            megakernel = (jax.default_backend() in ("tpu", "axon")
+                          and _megakernel_supported(self.codec)
+                          and not self.codec.encoder.spec_learnable)
+
+        if megakernel:
+            mk = _encoder_megakernel(self.codec.encoder,
+                                     _pick_stream_block(B),
+                                     megakernel_interpret)
+            cache = mk.cache_to_time_major(cache)
 
         def body(cache, x):
-            z, cache = self.codec.encoder.step(params["encoder"], cache, x)
+            if megakernel:
+                z, cache = mk.step(params["encoder"], cache, x)
+            else:
+                z, cache = self.codec.encoder.step(params["encoder"],
+                                                   cache, x)
             # fused Pallas RVQ on TPU (token-bit-exact vs the scan path)
             idx = PQ.quantize(z.swapaxes(1, 2), books, n=n)
             return cache, idx
 
         cache, tokens = jax.lax.scan(body, cache, xs)
+        if megakernel:
+            cache = mk.cache_from_time_major(cache)
         # tokens: [blocks, n, B, f] -> [n, B, blocks*f]
         tokens = jnp.moveaxis(tokens, 0, 2).reshape(
             tokens.shape[1], B, L)

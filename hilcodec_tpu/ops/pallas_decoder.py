@@ -187,7 +187,17 @@ def _prepare_weights(ops: Sequence[_Op], params) -> List[jnp.ndarray]:
             out.append(p["w"][:, :, 0].T)                 # [Cin, Cout]
             if p.get("b") is not None:
                 out.append(p["b"][None, :])               # [1, Cout]
-        elif op.kind == "dw":
+        elif op.kind == "mix":
+            p = _lookup(params, a["path"])["layer"]
+            out.append(p["w"][:, :, 0].T)                 # [F, C]
+            if p.get("b") is not None:
+                out.append(p["b"][None, :])
+        elif op.kind in ("dw", "dws"):
+            p = _lookup(params, a["path"])
+            out.append(p["w"][:, 0, :].T)                 # [k, C]
+            if p.get("b") is not None:
+                out.append(p["b"][None, :])
+        elif op.kind == "dense1ch":
             p = _lookup(params, a["path"])
             out.append(p["w"][:, 0, :].T)                 # [k, C]
             if p.get("b") is not None:
@@ -212,17 +222,21 @@ def _prepare_weights(ops: Sequence[_Op], params) -> List[jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 def _segment_kernel(ops: Sequence[_Op], bias_flags: Dict[int, bool],
-                    n_cache: int, n_weights: int, *refs):
-    """refs: x, caches_in..., weights..., y, caches_out..."""
+                    n_aux: int, n_cache: int, n_weights: int, *refs):
+    """refs: x, aux..., caches_in..., weights..., y, caches_out..."""
     x_ref = refs[0]
-    cache_in = refs[1:1 + n_cache]
-    weights = refs[1 + n_cache:1 + n_cache + n_weights]
-    y_ref = refs[1 + n_cache + n_weights]
-    cache_out = refs[2 + n_cache + n_weights:]
+    aux = refs[1:1 + n_aux]
+    cache_in = refs[1 + n_aux:1 + n_aux + n_cache]
+    weights = refs[1 + n_aux + n_cache:1 + n_aux + n_cache + n_weights]
+    y_ref = refs[1 + n_aux + n_cache + n_weights]
+    cache_out = refs[2 + n_aux + n_cache + n_weights:]
 
     x = x_ref[:].astype(jnp.float32)            # [SB, T, C]
+    if x.ndim == 2:                             # raw 1-channel wav window
+        x = x[:, :, None]
     wi = 0
     ci = 0
+    ai = 0
     skip = None
 
     for oi, op in enumerate(ops):
@@ -305,6 +319,64 @@ def _segment_kernel(ops: Sequence[_Op], bias_flags: Dict[int, bool],
                 y = y + weights[wi][0, 0]
                 wi += 1
             x = y[:, :, None]                             # [SB, T, 1]
+        elif op.kind == "dense1ch":
+            # conv_pre from 1 input channel: x [SB, T+k-1, 1] wav window,
+            # w [k, C] -> y[SB, T, C] = sum_j wav[t+j] * w[j]
+            k = a["k"]
+            w = weights[wi][:]
+            wi += 1
+            t = x.shape[1] - (k - 1)
+            y = None
+            for j in range(k):
+                term = x[:, j:j + t, :] * w[j][None, None, :]
+                y = term if y is None else y + term
+            if bias_flags[oi]:
+                y = y + weights[wi][:][None]
+                wi += 1
+            x = y
+        elif op.kind == "mix":
+            # SpecBlock residual mix (folded): x += spec_mag @ W + b
+            spec = aux[ai][:].astype(jnp.float32)         # [SB, T, F]
+            ai += 1
+            w = weights[wi][:]
+            wi += 1
+            sb, t, f = spec.shape
+            y = jnp.dot(spec.reshape(sb * t, f), w,
+                        preferred_element_type=jnp.float32)
+            if bias_flags[oi]:
+                y = y + weights[wi][:]
+                wi += 1
+            x = x + y.reshape(sb, t, w.shape[1])
+        elif op.kind == "dws":
+            # strided depthwise downsample, k = 2s (cache k-s = s frames):
+            # y[t] = sum_j xc[t*s+j] * w[j]; xc reshaped [T/s+1, s] so
+            # j = a*s+b -> xr[t+a, b]
+            k, s = a["k"], a["s"]
+            assert k == 2 * s
+            xc = jnp.concatenate([cache_in[ci][:].astype(jnp.float32), x],
+                                 axis=1)
+            cache_out[ci][:] = xc[:, xc.shape[1] - (k - s):, :]
+            ci += 1
+            w = weights[wi][:]
+            wi += 1
+            sb, tc, c = xc.shape
+            tout = (tc - s) // s
+            xr = xc.reshape(sb, tc // s, s, c)
+            y = None
+            for b_ in range(s):
+                term = (xr[:, :tout, b_, :] * w[b_][None, None, :]
+                        + xr[:, 1:tout + 1, b_, :]
+                        * w[s + b_][None, None, :])
+                y = term if y is None else y + term
+            if bias_flags[oi]:
+                y = y + weights[wi][:][None]
+                wi += 1
+            x = y
+        elif op.kind == "l2norm":
+            n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+            x = x / jnp.maximum(n, a["eps"])
+            if a["inout_norm"]:
+                x = x * jnp.float32(a["c"] ** 0.5)
         else:  # pragma: no cover
             raise ValueError(op.kind)
 
@@ -372,7 +444,7 @@ class DecoderMegakernel:
                     seg_bias[i] = _lookup(params,
                                           o.attrs["path"]).get("b") is not None
 
-            kernel = partial(_segment_kernel, seg, seg_bias, n_cache,
+            kernel = partial(_segment_kernel, seg, seg_bias, 0, n_cache,
                              n_weights)
             out_shapes = ([jax.ShapeDtypeStruct((B, t_out, c_out),
                                                 jnp.float32)]
@@ -420,4 +492,8 @@ def _segment_out_shape(seg: Sequence[_Op], t: int, c: int
             t = t * op.attrs["r"]
         elif op.kind == "post":
             c = 1
+        elif op.kind == "dense1ch":
+            t, c = t - (op.attrs["k"] - 1), op.attrs["c"]
+        elif op.kind == "dws":
+            t = t // op.attrs["s"]
     return t, c
