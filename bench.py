@@ -17,9 +17,16 @@ import numpy as np
 
 
 def parse_args(argv):
-    """[streams] [--mesh] [--seconds S] — fail fast on malformed input."""
+    """[streams] [--mesh] [--seconds S] [--megakernel|--no-megakernel] —
+    fail fast on malformed input."""
     seconds, mesh = 4.0, "--mesh" in argv
-    argv = [a for a in argv if a != "--mesh"]
+    mega = None                        # auto (stream-count-aware on TPU)
+    if "--megakernel" in argv:
+        mega = True
+    if "--no-megakernel" in argv:
+        mega = False
+    argv = [a for a in argv
+            if a not in ("--mesh", "--megakernel", "--no-megakernel")]
     if "--seconds" in argv:
         i = argv.index("--seconds")
         if i + 1 >= len(argv):
@@ -35,11 +42,11 @@ def parse_args(argv):
         streams = int(pos[0]) if pos else 128
     except ValueError:
         sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
-    return streams, seconds, mesh
+    return streams, seconds, mesh, mega
 
 
 def main():
-    streams, seconds, use_mesh = parse_args(sys.argv[1:])
+    streams, seconds, use_mesh, mega = parse_args(sys.argv[1:])
     import jax
     import jax.numpy as jnp
     try:
@@ -94,10 +101,10 @@ def main():
     def enc_dec(wav, cache_enc, cache_dec):
         tokens, cache_enc = model.encode_stream(
             params, vq_state, wav, cache_enc,
-            frames_per_step=frames_per_step)
+            frames_per_step=frames_per_step, megakernel=mega)
         out, cache_dec = model.decode_stream(
             params, vq_state, tokens, cache_dec,
-            frames_per_step=frames_per_step)
+            frames_per_step=frames_per_step, megakernel=mega)
         return tokens, out, cache_enc, cache_dec
 
     # compile + warmup

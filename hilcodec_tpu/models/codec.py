@@ -31,6 +31,20 @@ def _megakernel_supported(codec) -> bool:
             and not getattr(dec, "act_all", False))
 
 
+# Auto-select crossover: the megakernels eliminate per-frame dispatch /
+# HBM activation round-trips, which dominate at small stream counts; at
+# large counts XLA's own fusions amortize dispatch and win on VPU/MXU
+# utilization (measured on v5e: scan 1717x vs mega 984x at 128 streams).
+_MEGAKERNEL_MAX_STREAMS = 16
+
+
+def _auto_megakernel(codec, batch: int) -> bool:
+    import jax
+    return (jax.default_backend() in ("tpu", "axon")
+            and batch <= _MEGAKERNEL_MAX_STREAMS
+            and _megakernel_supported(codec))
+
+
 def _pick_stream_block(batch: int, cap: int = 32) -> int:
     """Largest divisor of `batch` that is <= cap (VMEM activation budget)."""
     for sb in range(min(cap, batch), 0, -1):
@@ -136,8 +150,7 @@ class CodecModel:
         xs = jnp.moveaxis(xs, 2, 0)          # [blocks, B, 1, hop*f]
         books = vq_state["embed"]
         if megakernel is None:
-            megakernel = (jax.default_backend() in ("tpu", "axon")
-                          and _megakernel_supported(self.codec)
+            megakernel = (_auto_megakernel(self.codec, B)
                           and not self.codec.encoder.spec_learnable)
 
         if megakernel:
@@ -186,8 +199,7 @@ class CodecModel:
 
         dtype = cache[0].dtype if cache else jnp.float32
         if megakernel is None:
-            megakernel = (jax.default_backend() in ("tpu", "axon")
-                          and _megakernel_supported(self.codec))
+            megakernel = _auto_megakernel(self.codec, B)
 
         if megakernel:
             mk = _decoder_megakernel(self.codec.decoder,

@@ -49,9 +49,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _WEIGHT_BUDGET = 6 * 2 ** 20          # bytes of weights per segment
 
+# The default scoped-VMEM limit is 16 MiB; v5e has 128 MiB of VMEM. Segments
+# hold all their weights + a stream-block of activations resident, so raise
+# the cap (leaving headroom for XLA's own scoped allocations in the while
+# body that hosts the kernel).
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 2 ** 20)
+
+
+def _elu(x):
+    # expm1 has no Mosaic TPU lowering; exp(min(x,0))-1 matches ELU for the
+    # x<=0 branch (abs error <= f32 eps) and avoids overflow on the dead
+    # branch of the where.
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
 
 def _act_fn(name: str):
-    return {"ELU": jax.nn.elu, "ReLU": jax.nn.relu,
+    return {"ELU": _elu, "ReLU": jax.nn.relu,
             "Tanh": jnp.tanh, "Identity": lambda x: x}[name]
 
 
@@ -291,12 +305,15 @@ def _segment_kernel(ops: Sequence[_Op], bias_flags: Dict[int, bool],
             wi += 2
             sb, tc, c = xc.shape
             t = tc - 1
-            # y[:, t*r+i, :] = xc[:, t]*wA[i] + xc[:, t+1]*wB[i]
-            y = (xc[:, :t, :, None].transpose(0, 1, 3, 2)
-                 * wA[None, None, :, :]
-                 + xc[:, 1:, :, None].transpose(0, 1, 3, 2)
-                 * wB[None, None, :, :])        # [SB, t, r, C]
-            y = y.reshape(sb, t * r, c)
+            # y[:, t*r+i, :] = xc[:, t]*wA[i] + xc[:, t+1]*wB[i].
+            # Interleave via stack on a fresh axis-2 + a lane-preserving
+            # reshape [SB, t, r, C] -> [SB, t*r, C] (Mosaic-verified). A
+            # 4-D transpose here lowers as an unsupported >2-D gather, and
+            # a concat-along-lanes reshape is an unsupported shape cast.
+            xa, xb = xc[:, :t, :], xc[:, 1:, :]
+            phases = [xa * wA[i][None, None, :] + xb * wB[i][None, None, :]
+                      for i in range(r)]
+            y = jnp.stack(phases, axis=2).reshape(sb, t * r, c)
             if bias_flags[oi]:
                 y = y + weights[wi][:][None]
                 wi += 1
@@ -361,6 +378,9 @@ def _segment_kernel(ops: Sequence[_Op], bias_flags: Dict[int, bool],
             wi += 1
             sb, tc, c = xc.shape
             tout = (tc - s) // s
+            # Lane-preserving split [SB, tc, C] -> [SB, tc/s, s, C] + static
+            # phase index (Mosaic-verified; strided time slices lower as an
+            # unsupported >2-D gather).
             xr = xc.reshape(sb, tc // s, s, c)
             y = None
             for b_ in range(s):
@@ -474,6 +494,7 @@ class DecoderMegakernel:
                 in_specs=in_specs,
                 out_specs=out_specs,
                 interpret=self.interpret,
+                compiler_params=_COMPILER_PARAMS,
             )(x, *caches_in, *weights)
             x = outs[0]
             for s, nc in zip(slots, outs[1:]):

@@ -25,8 +25,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decoder import (_Op, _pack_segments, _prepare_weights,
-                             _lookup, _segment_kernel, _segment_out_shape)
+from .pallas_decoder import (_COMPILER_PARAMS, _Op, _pack_segments,
+                             _prepare_weights, _lookup, _segment_kernel,
+                             _segment_out_shape)
 
 
 def _encoder_ops(enc) -> Tuple[List[_Op], List[Tuple[int, int]], List[dict]]:
@@ -237,6 +238,7 @@ class EncoderMegakernel:
                 in_specs=in_specs,
                 out_specs=out_specs,
                 interpret=self.interpret,
+                compiler_params=_COMPILER_PARAMS,
             )(x_cur, *aux, *caches_in, *weights)
             x_cur = outs[0]
             for s, nc in zip(slots, outs[1:]):
