@@ -133,7 +133,29 @@ def main():
     # count for the compiled program vs the chip's matmul peak. The frame
     # step is dispatch/bandwidth-bound, so single-digit-% MFU is expected
     # and the number shows the remaining perf envelope.
-    flops, mfu, peak = _mfu(jax, compiled, dt)
+    # Pallas kernels are custom calls with zero FLOPs in cost analysis —
+    # when the megakernel path may be active, take the FLOP count from the
+    # equivalent scan-path program (same math, fully analyzable).
+    from hilcodec_tpu.models.codec import _auto_megakernel
+    mega_active = (mega if mega is not None
+                   else _auto_megakernel(model.codec, streams))
+    flops_src = compiled
+    if mega_active:
+        @jax.jit
+        def enc_dec_scan(wav, cache_enc, cache_dec):
+            tokens, cache_enc = model.encode_stream(
+                params, vq_state, wav, cache_enc,
+                frames_per_step=frames_per_step, megakernel=False)
+            out, cache_dec = model.decode_stream(
+                params, vq_state, tokens, cache_dec,
+                frames_per_step=frames_per_step, megakernel=False)
+            return tokens, out, cache_enc, cache_dec
+        try:
+            flops_src = enc_dec_scan.lower(
+                wav, cache_enc, cache_dec).compile()
+        except Exception:
+            pass
+    flops, mfu, peak = _mfu(jax, flops_src, dt)
     if flops:
         result["achieved_tflops"] = round(flops / dt / 1e12, 3)
         if mfu is not None:
