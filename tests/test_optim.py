@@ -152,7 +152,10 @@ def test_reduce_lr_on_plateau():
     st = s.update(st, 1.0)   # bad 1
     st = s.update(st, 1.0)   # bad 2 -> decay
     assert st["scale"] == 0.5
-    assert float(s(1.0, 0, 0, scale=st["scale"])) == 0.5
+    # the plateau multiplier rides TrainState.lr_scale; __call__ passes
+    # the base LR through untouched
+    assert float(s(1.0, 0, 0)) == 1.0
+    assert float(s(1.0, 0, 0)) * st["scale"] == 0.5
 
 
 def test_make_scheduler_factory():
