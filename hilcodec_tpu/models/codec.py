@@ -31,11 +31,16 @@ def _megakernel_supported(codec) -> bool:
             and not getattr(dec, "act_all", False))
 
 
-# Auto-select crossover: the megakernels eliminate per-frame dispatch /
-# HBM activation round-trips, which dominate at small stream counts; at
-# large counts XLA's own fusions amortize dispatch and win on VPU/MXU
-# utilization (measured on v5e: scan 1717x vs mega 984x at 128 streams).
-_MEGAKERNEL_MAX_STREAMS = 16
+# Measured on v5e (bench.py A/B, frame-by-frame streaming): the fused
+# frame megakernels TIE the XLA scan path at 1 stream (23.6x vs 23.2x)
+# and LOSE above it (380x vs 505x @ 8 streams, 984x vs 1717x @ 128) —
+# XLA pipelines its ~55 small fusions across the scan better than the
+# VMEM-resident segment kernels execute their ops serially at low VPU
+# occupancy. So auto never selects them; they stay available via
+# megakernel=True (and bench.py --megakernel) as the measured road not
+# taken, and as the base for future sub-frame-latency work where a
+# single-kernel frame step is the only way to cut dispatch floor.
+_MEGAKERNEL_MAX_STREAMS = 0
 
 
 def _auto_megakernel(codec, batch: int) -> bool:
@@ -138,9 +143,10 @@ class CodecModel:
 
         wav [B, 1, T] with T = hop * L, L divisible by frames_per_step.
         Returns (tokens [n, B, L], new_cache). One compiled program per
-        (B, frames_per_step) shape. megakernel=None auto-selects the fused
-        Pallas encoder-frame kernel on TPU (ops/pallas_encoder.py); the
-        spec branch and the fused RVQ stay MXU matmuls either way.
+        (B, frames_per_step) shape. megakernel=True runs the fused Pallas
+        encoder-frame kernel (ops/pallas_encoder.py; measured slower than
+        the XLA scan at every stream count, see models/codec.py top note);
+        the spec branch and the fused RVQ stay MXU matmuls either way.
         """
         hop = self.hop_length
         B = wav.shape[0]
@@ -185,10 +191,11 @@ class CodecModel:
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """tokens [n, B, L] -> (wav [B, 1, L*hop], new_cache).
 
-        megakernel=None auto-selects the fused Pallas decoder-frame kernel
-        on TPU for HILCodec (ops/pallas_decoder.py): the whole per-frame
-        decoder runs in a handful of VMEM-resident kernels instead of ~55
-        XLA fusions, eliminating the per-frame HBM activation round-trips.
+        megakernel=True runs the fused Pallas decoder-frame kernel for
+        HILCodec (ops/pallas_decoder.py): the whole per-frame decoder as a
+        handful of VMEM-resident kernels instead of ~55 XLA fusions. On
+        v5e this measured slower than the XLA scan at every stream count
+        (see models/codec.py top note), so auto (None) keeps the scan.
         The cache list layout/order handed in and out is unchanged.
         """
         n, B, L = tokens.shape
