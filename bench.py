@@ -17,8 +17,8 @@ import numpy as np
 
 
 def parse_args(argv):
-    """[streams] [--mesh] [--seconds S] [--megakernel|--no-megakernel] —
-    fail fast on malformed input."""
+    """[streams] [--mesh] [--seconds S] [--unroll K]
+    [--megakernel|--no-megakernel] — fail fast on malformed input."""
     seconds, mesh = 4.0, "--mesh" in argv
     mega = None                        # auto (stream-count-aware on TPU)
     if "--megakernel" in argv:
@@ -27,6 +27,16 @@ def parse_args(argv):
         mega = False
     argv = [a for a in argv
             if a not in ("--mesh", "--megakernel", "--no-megakernel")]
+    unroll = 1
+    if "--unroll" in argv:
+        i = argv.index("--unroll")
+        if i + 1 >= len(argv):
+            sys.exit("error: --unroll requires a value")
+        try:
+            unroll = int(argv[i + 1])
+        except ValueError:
+            sys.exit(f"error: --unroll requires an int, got {argv[i + 1]!r}")
+        argv = argv[:i] + argv[i + 2:]
     if "--seconds" in argv:
         i = argv.index("--seconds")
         if i + 1 >= len(argv):
@@ -42,11 +52,11 @@ def parse_args(argv):
         streams = int(pos[0]) if pos else 128
     except ValueError:
         sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
-    return streams, seconds, mesh, mega
+    return streams, seconds, mesh, mega, unroll
 
 
 def main():
-    streams, seconds, use_mesh, mega = parse_args(sys.argv[1:])
+    streams, seconds, use_mesh, mega, unroll = parse_args(sys.argv[1:])
     import jax
     import jax.numpy as jnp
     try:
@@ -101,10 +111,12 @@ def main():
     def enc_dec(wav, cache_enc, cache_dec):
         tokens, cache_enc = model.encode_stream(
             params, vq_state, wav, cache_enc,
-            frames_per_step=frames_per_step, megakernel=mega)
+            frames_per_step=frames_per_step, megakernel=mega,
+            unroll=unroll)
         out, cache_dec = model.decode_stream(
             params, vq_state, tokens, cache_dec,
-            frames_per_step=frames_per_step, megakernel=mega)
+            frames_per_step=frames_per_step, megakernel=mega,
+            unroll=unroll)
         return tokens, out, cache_enc, cache_dec
 
     # compile + warmup

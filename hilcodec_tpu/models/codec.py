@@ -137,9 +137,14 @@ class CodecModel:
                       n: Optional[int] = None,
                       frames_per_step: int = 1,
                       megakernel: Optional[bool] = None,
-                      megakernel_interpret: bool = False
+                      megakernel_interpret: bool = False,
+                      unroll: int = 1
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Streaming encode via lax.scan over frame blocks.
+
+        unroll>1 unrolls the frame loop so XLA can schedule fusions across
+        adjacent frames — a lever for the dispatch-bound per-frame step
+        (latency per frame is unchanged; only throughput mode benefits).
 
         wav [B, 1, T] with T = hop * L, L divisible by frames_per_step.
         Returns (tokens [n, B, L], new_cache). One compiled program per
@@ -175,7 +180,7 @@ class CodecModel:
             idx = PQ.quantize(z.swapaxes(1, 2), books, n=n)
             return cache, idx
 
-        cache, tokens = jax.lax.scan(body, cache, xs)
+        cache, tokens = jax.lax.scan(body, cache, xs, unroll=unroll)
         if megakernel:
             cache = mk.cache_from_time_major(cache)
         # tokens: [blocks, n, B, f] -> [n, B, blocks*f]
@@ -187,9 +192,12 @@ class CodecModel:
                       tokens: jnp.ndarray, cache: List[jnp.ndarray],
                       frames_per_step: int = 1,
                       megakernel: Optional[bool] = None,
-                      megakernel_interpret: bool = False
+                      megakernel_interpret: bool = False,
+                      unroll: int = 1
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """tokens [n, B, L] -> (wav [B, 1, L*hop], new_cache).
+
+        unroll: see encode_stream.
 
         megakernel=True runs the fused Pallas decoder-frame kernel for
         HILCodec (ops/pallas_decoder.py): the whole per-frame decoder as a
@@ -220,7 +228,8 @@ class CodecModel:
                                       q.swapaxes(1, 2))
                 return cache_tm, y
 
-            cache_tm, wavs = jax.lax.scan(body_mk, cache_tm, xs)
+            cache_tm, wavs = jax.lax.scan(body_mk, cache_tm, xs,
+                                          unroll=unroll)
             cache = mk.cache_from_time_major(cache_tm)
             wav = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
             return wav, cache
@@ -231,7 +240,7 @@ class CodecModel:
                                                q.swapaxes(1, 2))
             return cache, y
 
-        cache, wavs = jax.lax.scan(body, cache, xs)
+        cache, wavs = jax.lax.scan(body, cache, xs, unroll=unroll)
         # wavs: [blocks, B, 1, f*hop] -> [B, 1, T]
         wav = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
         return wav, cache

@@ -88,3 +88,21 @@ def test_stream_block_sizes_agree(model, state, rng):
     t4, _ = model.encode_stream(params, vq_state, jnp.asarray(wav),
                                 cache_enc, frames_per_step=4)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
+
+
+def test_stream_unroll_parity(model, state, rng):
+    """unroll>1 is a pure scheduling hint: tokens and wav bit-match."""
+    params, vq_state = state
+    L = 12
+    wav = (rng.standard_normal((1, 1, 320 * L)) * 0.3).astype(np.float32)
+    cache_enc, cache_dec = model.init_cache(1)
+    t1, ce1 = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                  cache_enc)
+    t4, ce4 = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                  cache_enc, unroll=4)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
+    for a, b in zip(ce1, ce4):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    w1, _ = model.decode_stream(params, vq_state, t1, cache_dec)
+    w4, _ = model.decode_stream(params, vq_state, t1, cache_dec, unroll=4)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w4), atol=0)
