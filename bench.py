@@ -17,7 +17,7 @@ import numpy as np
 
 
 def parse_args(argv):
-    """[streams] [--mesh] [--seconds S] [--unroll K]
+    """[streams] [--mesh] [--seconds S] [--unroll K] [--chunks G]
     [--megakernel|--no-megakernel] — fail fast on malformed input."""
     seconds, mesh = 4.0, "--mesh" in argv
     mega = None                        # auto (stream-count-aware on TPU)
@@ -27,16 +27,22 @@ def parse_args(argv):
         mega = False
     argv = [a for a in argv
             if a not in ("--mesh", "--megakernel", "--no-megakernel")]
-    unroll = 1
-    if "--unroll" in argv:
-        i = argv.index("--unroll")
-        if i + 1 >= len(argv):
-            sys.exit("error: --unroll requires a value")
-        try:
-            unroll = int(argv[i + 1])
-        except ValueError:
-            sys.exit(f"error: --unroll requires an int, got {argv[i + 1]!r}")
-        argv = argv[:i] + argv[i + 2:]
+    unroll, chunks = 1, 1
+    for flag in ("--unroll", "--chunks"):
+        if flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv):
+                sys.exit(f"error: {flag} requires a value")
+            try:
+                val = int(argv[i + 1])
+            except ValueError:
+                sys.exit(f"error: {flag} requires an int, got "
+                         f"{argv[i + 1]!r}")
+            if flag == "--unroll":
+                unroll = val
+            else:
+                chunks = val
+            argv = argv[:i] + argv[i + 2:]
     if "--seconds" in argv:
         i = argv.index("--seconds")
         if i + 1 >= len(argv):
@@ -52,11 +58,12 @@ def parse_args(argv):
         streams = int(pos[0]) if pos else 128
     except ValueError:
         sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
-    return streams, seconds, mesh, mega, unroll
+    return streams, seconds, mesh, mega, unroll, chunks
 
 
 def main():
-    streams, seconds, use_mesh, mega, unroll = parse_args(sys.argv[1:])
+    streams, seconds, use_mesh, mega, unroll, chunks = parse_args(
+        sys.argv[1:])
     import jax
     import jax.numpy as jnp
     try:
@@ -112,11 +119,11 @@ def main():
         tokens, cache_enc = model.encode_stream(
             params, vq_state, wav, cache_enc,
             frames_per_step=frames_per_step, megakernel=mega,
-            unroll=unroll)
+            unroll=unroll, stream_chunks=chunks)
         out, cache_dec = model.decode_stream(
             params, vq_state, tokens, cache_dec,
             frames_per_step=frames_per_step, megakernel=mega,
-            unroll=unroll)
+            unroll=unroll, stream_chunks=chunks)
         return tokens, out, cache_enc, cache_dec
 
     # compile + warmup

@@ -138,13 +138,22 @@ class CodecModel:
                       frames_per_step: int = 1,
                       megakernel: Optional[bool] = None,
                       megakernel_interpret: bool = False,
-                      unroll: int = 1
+                      unroll: int = 1,
+                      stream_chunks: int = 1
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Streaming encode via lax.scan over frame blocks.
 
         unroll>1 unrolls the frame loop so XLA can schedule fusions across
         adjacent frames — a lever for the dispatch-bound per-frame step
         (latency per frame is unchanged; only throughput mode benefits).
+
+        stream_chunks=G processes the B streams as G sequential groups
+        *within each frame step* (an inner lax.map): per-frame latency
+        grows ~G-fold but stays far under the 13.3 ms deadline, and every
+        op sees B/G-sized tensors — the fix for the large-B throughput
+        cliff where XLA falls out of its fused in-place cache-update
+        regime (see BASELINE.md stream-scaling curve). Streaming
+        semantics are preserved: all B streams emit every frame on time.
 
         wav [B, 1, T] with T = hop * L, L divisible by frames_per_step.
         Returns (tokens [n, B, L], new_cache). One compiled program per
@@ -170,19 +179,41 @@ class CodecModel:
                                      megakernel_interpret)
             cache = mk.cache_to_time_major(cache)
 
+        G = stream_chunks
+        if G > 1:
+            assert not megakernel, "stream_chunks: scan path only"
+            assert B % G == 0, (B, G)
+            cache = [c.reshape(G, B // G, *c.shape[1:]) for c in cache]
+
         def body(cache, x):
             if megakernel:
                 z, cache = mk.step(params["encoder"], cache, x)
+                idx = PQ.quantize(z.swapaxes(1, 2), books, n=n)
+            elif G > 1:
+                xg = x.reshape(G, B // G, *x.shape[1:])
+
+                def one(args):
+                    cg, xc = args
+                    zc, cg = self.codec.encoder.step(params["encoder"],
+                                                     list(cg), xc)
+                    return PQ.quantize(zc.swapaxes(1, 2), books, n=n), cg
+
+                idx_g, cache = jax.lax.map(one, (cache, xg))
+                # [G, n, B/G, f] -> [n, B, f]
+                idx = jnp.moveaxis(idx_g, 0, 1).reshape(
+                    idx_g.shape[1], B, idx_g.shape[-1])
             else:
                 z, cache = self.codec.encoder.step(params["encoder"],
                                                    cache, x)
-            # fused Pallas RVQ on TPU (token-bit-exact vs the scan path)
-            idx = PQ.quantize(z.swapaxes(1, 2), books, n=n)
+                # fused Pallas RVQ on TPU (token-bit-exact vs scan path)
+                idx = PQ.quantize(z.swapaxes(1, 2), books, n=n)
             return cache, idx
 
         cache, tokens = jax.lax.scan(body, cache, xs, unroll=unroll)
         if megakernel:
             cache = mk.cache_from_time_major(cache)
+        if G > 1:
+            cache = [c.reshape(B, *c.shape[2:]) for c in cache]
         # tokens: [blocks, n, B, f] -> [n, B, blocks*f]
         tokens = jnp.moveaxis(tokens, 0, 2).reshape(
             tokens.shape[1], B, L)
@@ -193,11 +224,12 @@ class CodecModel:
                       frames_per_step: int = 1,
                       megakernel: Optional[bool] = None,
                       megakernel_interpret: bool = False,
-                      unroll: int = 1
+                      unroll: int = 1,
+                      stream_chunks: int = 1
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """tokens [n, B, L] -> (wav [B, 1, L*hop], new_cache).
 
-        unroll: see encode_stream.
+        unroll, stream_chunks: see encode_stream.
 
         megakernel=True runs the fused Pallas decoder-frame kernel for
         HILCodec (ops/pallas_decoder.py): the whole per-frame decoder as a
@@ -231,6 +263,33 @@ class CodecModel:
             cache_tm, wavs = jax.lax.scan(body_mk, cache_tm, xs,
                                           unroll=unroll)
             cache = mk.cache_from_time_major(cache_tm)
+            wav = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
+            return wav, cache
+
+        G = stream_chunks
+        if G > 1:
+            assert B % G == 0, (B, G)
+            cache = [c.reshape(G, B // G, *c.shape[1:]) for c in cache]
+
+            def body_g(cache, idx):
+                # idx: [n, B, f] -> per-chunk [n, B/G, f]
+                idx_g = jnp.moveaxis(
+                    idx.reshape(idx.shape[0], G, B // G, idx.shape[-1]),
+                    1, 0)
+
+                def one(args):
+                    cg, ic = args
+                    q = Q.dequantize(ic, books).astype(dtype)
+                    y, cg = self.codec.decoder.step(
+                        params["decoder"], list(cg), q.swapaxes(1, 2))
+                    return y, cg
+
+                y_g, cache = jax.lax.map(one, (cache, idx_g))
+                # [G, B/G, 1, f*hop] -> [B, 1, f*hop]
+                return cache, y_g.reshape(B, *y_g.shape[2:])
+
+            cache, wavs = jax.lax.scan(body_g, cache, xs, unroll=unroll)
+            cache = [c.reshape(B, *c.shape[2:]) for c in cache]
             wav = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
             return wav, cache
 

@@ -106,3 +106,28 @@ def test_stream_unroll_parity(model, state, rng):
     w1, _ = model.decode_stream(params, vq_state, t1, cache_dec)
     w4, _ = model.decode_stream(params, vq_state, t1, cache_dec, unroll=4)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w4), atol=0)
+
+
+def test_stream_chunks_parity(model, state, rng):
+    """stream_chunks=G (per-frame chunked group execution) matches the
+    flat path: tokens equal, wav and caches allclose."""
+    params, vq_state = state
+    L, B = 6, 4
+    wav = (rng.standard_normal((B, 1, 320 * L)) * 0.3).astype(np.float32)
+    cache_enc, cache_dec = model.init_cache(B)
+    t1, ce1 = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                  cache_enc)
+    t2, ce2 = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                  cache_enc, stream_chunks=2)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    for a, b in zip(ce1, ce2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    w1, cd1 = model.decode_stream(params, vq_state, t1, cache_dec)
+    w2, cd2 = model.decode_stream(params, vq_state, t1, cache_dec,
+                                  stream_chunks=2)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(cd1, cd2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
