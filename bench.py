@@ -27,7 +27,7 @@ def parse_args(argv):
         mega = False
     argv = [a for a in argv
             if a not in ("--mesh", "--megakernel", "--no-megakernel")]
-    unroll, chunks = 1, 1
+    unroll, chunks = 1, None   # chunks None = auto (groups of 128)
     for flag in ("--unroll", "--chunks"):
         if flag in argv:
             i = argv.index(flag)

@@ -50,6 +50,17 @@ def _auto_megakernel(codec, batch: int) -> bool:
             and _megakernel_supported(codec))
 
 
+def _resolve_chunks(stream_chunks, batch: int) -> int:
+    """None -> groups of 128 for large batches (measured v5e sweet spot:
+    groups of exactly 128 recover the peak fusion regime — 512 streams
+    885x flat vs 1514x chunked); explicit int is taken as-is."""
+    if stream_chunks is not None:
+        return stream_chunks
+    if batch > 256 and batch % 128 == 0:
+        return batch // 128
+    return 1
+
+
 def _pick_stream_block(batch: int, cap: int = 32) -> int:
     """Largest divisor of `batch` that is <= cap (VMEM activation budget)."""
     for sb in range(min(cap, batch), 0, -1):
@@ -139,7 +150,7 @@ class CodecModel:
                       megakernel: Optional[bool] = None,
                       megakernel_interpret: bool = False,
                       unroll: int = 1,
-                      stream_chunks: int = 1
+                      stream_chunks: Optional[int] = None
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Streaming encode via lax.scan over frame blocks.
 
@@ -152,8 +163,13 @@ class CodecModel:
         grows ~G-fold but stays far under the 13.3 ms deadline, and every
         op sees B/G-sized tensors — the fix for the large-B throughput
         cliff where XLA falls out of its fused in-place cache-update
-        regime (see BASELINE.md stream-scaling curve). Streaming
-        semantics are preserved: all B streams emit every frame on time.
+        regime. Measured on v5e: 512 streams 885x flat -> 1514x with
+        G=4, 384 streams 1442x -> 1518x with G=3; groups of exactly 128
+        are what recovers the peak regime (192 with G=2, i.e. groups of
+        96, measured *worse*). None auto-selects G=B/128 when B>256 and
+        128 | B; pass 1 to force the flat path (the exact-parity mode —
+        chunked results are allclose but may differ in final ulps).
+        Streaming semantics hold: all B streams emit every frame on time.
 
         wav [B, 1, T] with T = hop * L, L divisible by frames_per_step.
         Returns (tokens [n, B, L], new_cache). One compiled program per
@@ -179,9 +195,8 @@ class CodecModel:
                                      megakernel_interpret)
             cache = mk.cache_to_time_major(cache)
 
-        G = stream_chunks
+        G = 1 if megakernel else _resolve_chunks(stream_chunks, B)
         if G > 1:
-            assert not megakernel, "stream_chunks: scan path only"
             assert B % G == 0, (B, G)
             cache = [c.reshape(G, B // G, *c.shape[1:]) for c in cache]
 
@@ -225,7 +240,7 @@ class CodecModel:
                       megakernel: Optional[bool] = None,
                       megakernel_interpret: bool = False,
                       unroll: int = 1,
-                      stream_chunks: int = 1
+                      stream_chunks: Optional[int] = None
                       ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """tokens [n, B, L] -> (wav [B, 1, L*hop], new_cache).
 
@@ -266,7 +281,7 @@ class CodecModel:
             wav = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
             return wav, cache
 
-        G = stream_chunks
+        G = _resolve_chunks(stream_chunks, B)
         if G > 1:
             assert B % G == 0, (B, G)
             cache = [c.reshape(G, B // G, *c.shape[1:]) for c in cache]

@@ -131,3 +131,14 @@ def test_stream_chunks_parity(model, state, rng):
     for a, b in zip(cd1, cd2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_stream_chunks_auto_resolution():
+    from hilcodec_tpu.models.codec import _resolve_chunks
+    assert _resolve_chunks(None, 128) == 1       # peak regime already
+    assert _resolve_chunks(None, 256) == 1       # measured within 1% of peak
+    assert _resolve_chunks(None, 384) == 3       # groups of 128
+    assert _resolve_chunks(None, 512) == 4
+    assert _resolve_chunks(None, 200) == 1       # not divisible -> flat
+    assert _resolve_chunks(1, 512) == 1          # explicit overrides
+    assert _resolve_chunks(8, 512) == 8
