@@ -124,9 +124,14 @@ class CodecModel:
         """wav [B, 1, T] -> (wav_g [B, 1, T], new_vq_state, loss_vq,
         num_replaces). Matches models.py:111-118."""
         z = self.codec.encoder.apply(params["encoder"], wav)
+        # VQ always runs f32: EMA statistics, k-means init and the
+        # distance argmin (token identity) must not degrade under a bf16
+        # compute dtype (mixed-precision training casts wav/params only).
         q, vq_state, loss_vq, num_replaces, _idx = self.vq(
-            z, vq_state, key, n=n, training=training, axis_name=axis_name)
-        wav_g = self.codec.decoder.apply(params["decoder"], q)
+            z.astype(jnp.float32), vq_state, key, n=n, training=training,
+            axis_name=axis_name)
+        wav_g = self.codec.decoder.apply(params["decoder"],
+                                         q.astype(z.dtype))
         return wav_g.astype(jnp.float32), vq_state, loss_vq, num_replaces
 
     # -- offline (whole-utterance) coding -----------------------------------

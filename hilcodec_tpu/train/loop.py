@@ -102,6 +102,21 @@ def build_avocodo_trainer(hps, axis_name: Optional[str] = None):
         axis_name=axis_name, clipper=clipper)
 
 
+def _compute_dtype_from_config(hp):
+    """`train.compute_dtype: bfloat16` selects mixed precision; the
+    reference's `fp16_g/fp16_d: True` (configs/hilcodec_speech.yaml:108-109)
+    maps to bf16 — the TPU-native half-precision (no GradScalers needed,
+    the balancer's non-finite guard covers the rare overflow)."""
+    name = hp.get("compute_dtype", None)
+    if name is None and (hp.get("fp16_g", False) or hp.get("fp16", False)):
+        name = "bfloat16"
+    if name in (None, "float32", "fp32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16", "float16", "fp16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r}")
+
+
 def build_trainer(hps, axis_name: Optional[str] = None):
     """Construct the per-family trainer from a reference-format config —
     the model-zoo dispatch of reference models/__init__.py:4-11.
@@ -134,7 +149,8 @@ def build_trainer(hps, axis_name: Optional[str] = None):
         use_normalized_fm=hp.get("use_normalized_fm_loss", True),
         lookahead=hp.get("lookahead", 0),
         disc_update_ratio=tuple(hp.get("disc_update_ratio", (1, 1))),
-        axis_name=axis_name, clipper=clipper)
+        axis_name=axis_name, clipper=clipper,
+        compute_dtype=_compute_dtype_from_config(hp))
 
 
 class TrainLoop:

@@ -73,6 +73,12 @@ class Trainer:
     # gradient clipper applied to both G and D grads every update
     # (reference wrapper.py:252-257 clip_grad; see grad_clip.make_clipper)
     clipper: Optional[Any] = None
+    # Mixed precision (reference trains fp16 G+D with GradScalers,
+    # wrapper.py / configs `fp16: True`): networks run in compute_dtype
+    # while master params, optimizer state, VQ, losses and the balancer
+    # stay f32. Grads come out f32 through the cast's vjp; the balancer's
+    # non-finite skip-update guard replaces the GradScaler.
+    compute_dtype: Any = jnp.float32
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -109,6 +115,11 @@ class Trainer:
         auxiliary outputs. Deterministic in (state, wav_r, key), so the
         plot_param_and_grad path recomputes identical grads."""
         axis = self.axis_name
+        cd = self.compute_dtype
+        cast = (lambda t: t) if cd == jnp.float32 else (
+            lambda t: jax.tree.map(lambda x: x.astype(cd)
+                                   if jnp.issubdtype(x.dtype, jnp.floating)
+                                   else x, t))
         k_drop, k_vq = jax.random.split(jax.random.fold_in(
             key, state.iteration))
         n = self.model.vq.sample_n(k_drop)
@@ -116,8 +127,8 @@ class Trainer:
         # ---- generator forward (single vjp) --------------------------------
         def gen_fn(params_g):
             wav_g, new_vq, loss_vq, n_rep = self.model.forward(
-                params_g, state.vq_state, wav_r, k_vq, n=n, training=True,
-                axis_name=axis)
+                cast(params_g), state.vq_state, cast(wav_r), k_vq, n=n,
+                training=True, axis_name=axis)
             return (wav_g, loss_vq), (new_vq, n_rep, loss_vq)
 
         (wav_g, _lv), gen_pull, aux = jax.vjp(gen_fn, state.params_g,
@@ -130,9 +141,11 @@ class Trainer:
             wav_g_sg = wav_g_sg[:, :, self.lookahead:]
 
         # ---- per-loss cotangents w.r.t. wav_g ------------------------------
-        params_d_sg = jax.lax.stop_gradient(state.params_d)
-        _, fmaps_r = self.disc.apply(params_d_sg, wav_r_in)
-        fmaps_r = jax.lax.stop_gradient(fmaps_r)
+        f32 = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32), t)
+        params_d_sg = cast(jax.lax.stop_gradient(state.params_d))
+        _, fmaps_r = self.disc.apply(params_d_sg, cast(wav_r_in))
+        fmaps_r = jax.lax.stop_gradient(f32(fmaps_r))
 
         losses: Dict[str, jnp.ndarray] = {}
         grads: Dict[str, jnp.ndarray] = {}
@@ -144,9 +157,9 @@ class Trainer:
 
         for name, d in self.disc.discs.items():
             def fam(w, d=d, name=name):
-                lg, fg = d.apply(params_d_sg[name], w)
-                g_l = self._g_loss_fn({name: lg})[f"{name}_g"]
-                fm_l = self._fm_loss_fn({name: fg},
+                lg, fg = d.apply(params_d_sg[name], cast(w))
+                g_l = self._g_loss_fn({name: f32(lg)})[f"{name}_g"]
+                fm_l = self._fm_loss_fn({name: f32(fg)},
                                         {name: fmaps_r[name]})[f"{name}_fm"]
                 return (g_l, fm_l)
 
@@ -179,9 +192,10 @@ class Trainer:
                            else True)
 
         def d_fn(params_d):
-            lg, _ = self.disc.apply(params_d, wav_g_sg)
-            lr_logits, _ = self.disc.apply(params_d, wav_r_in)
-            return self._d_loss_fn(lg, lr_logits)
+            p_c = cast(params_d)
+            lg, _ = self.disc.apply(p_c, cast(wav_g_sg))
+            lr_logits, _ = self.disc.apply(p_c, cast(wav_r_in))
+            return self._d_loss_fn(f32(lg), f32(lr_logits))
 
         if r1 > 1:
             # skip the full D backward on masked steps (wrapper.py:265-277

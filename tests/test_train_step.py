@@ -249,3 +249,50 @@ def test_reduce_lr_on_plateau_semantics():
     assert st2["scale"] == pytest.approx(0.1)
     st2 = sched2.update(st2, 1.0, base_lr=1e-3)
     assert st2["scale"] == pytest.approx(0.1)  # floored at min_lr/base_lr
+
+
+def test_bf16_mixed_precision_step(rng):
+    """compute_dtype=bfloat16: networks run bf16, masters/VQ/losses stay
+    f32, the step is finite and moves params; f32 state dtypes preserved."""
+    import dataclasses as _dc
+    tr32 = tiny_trainer()
+    tr16 = _dc.replace(tr32, compute_dtype=jnp.bfloat16)
+    state = tr16.init_state(jax.random.PRNGKey(0))
+    hop = tr16.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    new_state, metrics = jax.jit(tr16.train_step)(
+        state, jnp.asarray(wav), jax.random.PRNGKey(1))
+    assert float(metrics["finite"]) == 1.0
+    for k in ("loss/freq", "loss/mfbd_g", "loss/mstftd_fm", "loss/d",
+              "loss/vq"):
+        assert np.isfinite(float(metrics[k])), k
+    # master params stay f32 and actually moved
+    for leaf in jax.tree.leaves(new_state.params_g):
+        assert leaf.dtype != jnp.bfloat16
+    d0 = jax.tree.leaves(state.params_g)[0]
+    d1 = jax.tree.leaves(new_state.params_g)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # VQ state stays f32 (EMA stats must not degrade)
+    assert new_state.vq_state["embed"].dtype == jnp.float32
+    # bf16 losses track the f32 run to bf16-resolution accuracy
+    _, m32 = jax.jit(tr32.train_step)(
+        tr32.init_state(jax.random.PRNGKey(0)), jnp.asarray(wav),
+        jax.random.PRNGKey(1))
+    f32v, f16v = float(m32["loss/freq"]), float(metrics["loss/freq"])
+    assert abs(f32v - f16v) / max(abs(f32v), 1e-6) < 0.1
+
+
+def test_compute_dtype_from_config():
+    from hilcodec_tpu.train.loop import _compute_dtype_from_config
+
+    class H(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    assert _compute_dtype_from_config(H()) == jnp.float32
+    assert _compute_dtype_from_config(
+        H(compute_dtype="bfloat16")) == jnp.bfloat16
+    # reference configs' fp16_g: True maps to bf16 (TPU half precision)
+    assert _compute_dtype_from_config(H(fp16_g=True)) == jnp.bfloat16
+    assert _compute_dtype_from_config(
+        H(fp16_g=True, compute_dtype="float32")) == jnp.float32
