@@ -111,8 +111,16 @@ _DATASETS = {
 
 
 def get_dataset_dataloader(hps, mode: str, keys: List[str],
-                           num_shards: int = 1, shard: int = 0):
-    """Mode-aware dataset+loader factory (utils/data/__init__.py:21-89)."""
+                           num_shards: int = 1, shard: int = 0,
+                           devices_per_shard: int = 1):
+    """Mode-aware dataset+loader factory (utils/data/__init__.py:21-89).
+
+    `devices_per_shard`: local chips fed by this process's loader. The
+    config batch_size is per device (reference: per GPU); the dataset is
+    built with the FINAL global batch (batch_size * devices_per_shard *
+    num_shards) so its length-sorted batch grouping matches the emitted
+    batch boundaries exactly (reference passes batch_size * n_gpus,
+    utils/data/audio.py:99-118)."""
     dataset_cfg = hps.data.dataset
     name = dataset_cfg[mode] if not isinstance(dataset_cfg, str) \
         else dataset_cfg
@@ -140,6 +148,7 @@ def get_dataset_dataloader(hps, mode: str, keys: List[str],
     elif mode != "train":
         raise ValueError(f"unknown mode {mode}")
 
+    batch_size *= devices_per_shard
     dataset = cls(hps.data, keys, mode=mode,
                   batch_size=batch_size * num_shards, verbose=(shard == 0))
     loader = DataLoader(dataset, batch_size=batch_size,

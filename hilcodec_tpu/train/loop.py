@@ -178,11 +178,12 @@ class TrainLoop:
             sampling_rate=hps.data.sampling_rate,
             num_workers=hps.get("pesq", {}).get("num_workers_executor", 4))
 
-        self.train_ds, self.train_loader = get_dataset_dataloader(
-            hps, "train", ["wav"], num_shards=self.n_proc, shard=self.proc)
         # config batch_size is per device (reference: per GPU); one host
-        # feeds all local chips
-        self.train_loader.batch_size *= self.n_dev
+        # feeds all local chips, and the dataset's batch grouping uses the
+        # final global batch size (see get_dataset_dataloader)
+        self.train_ds, self.train_loader = get_dataset_dataloader(
+            hps, "train", ["wav"], num_shards=self.n_proc, shard=self.proc,
+            devices_per_shard=self.n_dev)
         try:
             self.valid_ds, self.valid_loader = get_dataset_dataloader(
                 hps, "valid", ["wav"], num_shards=1, shard=0)
@@ -312,6 +313,7 @@ class TrainLoop:
                     ) -> Dict[str, float]:
         t0 = time.time()
         sums: Dict[str, float] = {}
+        counts: Dict[str, float] = {}
         n_items = 0
         n_steps = len(self.train_loader)
         replaces_total = None
@@ -326,7 +328,13 @@ class TrainLoop:
                 n_items += bsz
                 for k, v in mt.items():
                     if k.startswith("loss/"):
-                        sums[k] = sums.get(k, 0.0) + float(v) * bsz
+                        v = float(v)
+                        # skipped-D steps report loss/d as NaN (reference
+                        # computes it on update steps only); average each
+                        # key over the steps that actually produced it
+                        if math.isfinite(v):
+                            sums[k] = sums.get(k, 0.0) + v * bsz
+                            counts[k] = counts.get(k, 0.0) + bsz
                 rep = np.asarray(mt["num_replaces"])
                 replaces_total = rep if replaces_total is None \
                     else replaces_total + rep
@@ -353,12 +361,12 @@ class TrainLoop:
                 flush()
                 line = f"Epoch {self.epoch} - Train {idx}/{n_steps}"
                 for k, v in sums.items():
-                    line += f"  {k.split('/')[1]}: {v / n_items:.3f}"
+                    line += f"  {k.split('/')[1]}: {v / counts[k]:.3f}"
                 line += f"  lr: {float(m['lr']):.2e}"
                 S.progress_line(line)
         flush()
         print()
-        scalars = {k: v / max(n_items, 1) for k, v in sums.items()}
+        scalars = {k: v / max(counts[k], 1) for k, v in sums.items()}
         scalars["lr"] = float(m["lr"]) if n_steps else 0.0
         scalars["epoch_time"] = time.time() - t0
         if replaces_total is not None:
@@ -483,7 +491,10 @@ class TrainLoop:
         max_epochs = max_epochs or hps.train.max_epochs
         if self.state is None:
             self.init_or_resume()
-        if self.writer_train is None:
+        # writers + checkpoints come from process 0 only (reference DDP
+        # saves from rank 0, train.py:117-138): two hosts on a shared
+        # filesystem must not race on the same run_dir files
+        if self.writer_train is None and self.proc == 0:
             self.writer_train = S.get_writer(
                 os.path.join(self.run_dir, "train"))
             self.writer_valid = S.get_writer(
@@ -499,11 +510,16 @@ class TrainLoop:
                 self.train_ds.shuffle(self.seed + self.epoch)
             hists: Dict[str, np.ndarray] = {}
             scalars = self.train_epoch(hists=hists)
-            S.summarize(self.writer_train, self.epoch, scalars,
-                        hists=hists or None, echo=False)
+            if self.writer_train is not None:
+                S.summarize(self.writer_train, self.epoch, scalars,
+                            hists=hists or None, echo=False)
+            # end-of-epoch replica-divergence check (wrapper.py:306-314):
+            # every device must hold identical discriminator params
+            if self.n_dev * self.n_proc > 1 and self.state is not None:
+                check_replica_consistency(self.state)
 
             valid = self.valid_epoch()
-            if valid:
+            if valid and self.writer_valid is not None:
                 S.summarize(self.writer_valid, self.epoch, valid,
                             echo=False)
             if self.plateau is not None:
@@ -513,21 +529,24 @@ class TrainLoop:
                     self.plateau_state = self.plateau.update(
                         self.plateau_state, metric,
                         base_lr=self.trainer.lr_g)
+                    # np scalar (uncommitted) so the next step_fn call can
+                    # reshard it to the replicated spec on a global mesh —
+                    # a committed single-device jnp array cannot be
                     self.state = self.state._replace(
-                        lr_scale=jnp.asarray(self.plateau_state["scale"],
-                                             jnp.float32))
-            if self.epoch % pesq_interval == 0:
+                        lr_scale=np.float32(self.plateau_state["scale"]))
+            if self.epoch % pesq_interval == 0 and self.proc == 0:
                 for k, v in self.pesq_epoch().items():
-                    self.writer_valid.add_scalar(f"metric/{k}", v,
-                                                 self.epoch)
-            if self.epoch % infer_interval == 0:
+                    if self.writer_valid is not None:
+                        self.writer_valid.add_scalar(f"metric/{k}", v,
+                                                     self.epoch)
+            if self.epoch % infer_interval == 0 and self.proc == 0:
                 audios, specs = self.infer_epoch()
-                if audios:
+                if audios and self.writer_valid is not None:
                     S.summarize(self.writer_valid, self.epoch,
                                 audios=audios, specs=specs,
                                 sampling_rate=hps.data.sampling_rate,
                                 echo=False)
-            if self.epoch % save_interval == 0:
+            if self.epoch % save_interval == 0 and self.proc == 0:
                 self.save()
 
 

@@ -210,6 +210,15 @@ class Trainer:
         if axis is not None:
             d_grads = jax.lax.pmean(d_grads, axis)
 
+        # D-side non-finite guard (the reference's scaler_d backoff path,
+        # wrapper.py fp16_d): a NaN/Inf in d_loss or any d_grad leaf skips
+        # the D update instead of corrupting params_d permanently. Checked
+        # after the pmean so a non-finite value on ANY replica gates all.
+        d_finite = jnp.isfinite(d_loss)
+        for leaf in jax.tree.leaves(d_grads):
+            d_finite &= jnp.all(jnp.isfinite(leaf))
+        do_d = jnp.logical_and(do_d, d_finite)
+
         if self.clipper is not None:
             g_grads = self.clipper(g_grads)
             d_grads = self.clipper(d_grads)
@@ -260,7 +269,10 @@ class Trainer:
 
         metrics = {"loss/" + k: v for k, v in aux["losses"].items()}
         metrics["loss/vq"] = aux["loss_vq"]
-        metrics["loss/d"] = aux["d_loss"]
+        # NaN on skipped steps so the epoch average covers update steps
+        # only (the reference computes loss_d only on those steps,
+        # wrapper.py:265-277); the loop's accumulator masks non-finite.
+        metrics["loss/d"] = jnp.where(do_d, aux["d_loss"], jnp.nan)
         metrics["lr"] = lr_g
         metrics["finite"] = finite.astype(jnp.float32)
         metrics["num_replaces"] = aux["num_replaces"]
@@ -320,7 +332,9 @@ def make_parallel_train_step(trainer: Trainer, mesh: Mesh,
         new_state, metrics = trainer.train_step(state, wav, key)
         return new_state, metrics
 
-    @jax.jit
+    # donate the state: params/opt/VQ buffers update in place instead of
+    # allocating + copying a second full state in HBM each step
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state, wav, key):
         return sharded_step(state, wav, key)
 

@@ -67,7 +67,13 @@ def load_checkpoint(path: str, template: Any
     for kp, tmpl in leaves_kp:
         key = "/".join(_key_str(k) for k in kp)
         if key not in data:
-            raise KeyError(f"checkpoint {path} missing leaf {key}")
+            # forward-compat: state gained a leaf since this checkpoint
+            # was written (e.g. lr_scale) — keep the template's value so
+            # old runs stay resumable
+            print(f"warning: checkpoint {path} missing leaf {key}; "
+                  f"keeping the initialized value")
+            leaves.append(np.asarray(tmpl))
+            continue
         arr = data[key]
         if arr.shape != np.shape(tmpl):
             raise ValueError(

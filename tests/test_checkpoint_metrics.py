@@ -46,6 +46,19 @@ def test_checkpoint_shape_mismatch(tmp_path):
         load_checkpoint(p, {"x": jnp.zeros(4)})
 
 
+def test_checkpoint_missing_leaf_falls_back(tmp_path, capsys):
+    """Forward-compat: a checkpoint written before the state gained a leaf
+    (e.g. lr_scale) must still resume, keeping the template's value for
+    the missing leaf."""
+    p = save_checkpoint(str(tmp_path), 1, {"x": jnp.full(3, 2.0)})
+    template = {"x": jnp.zeros(3), "lr_scale": jnp.ones(())}
+    restored, _ = load_checkpoint(p, template)
+    np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                  np.full(3, 2.0))
+    np.testing.assert_array_equal(np.asarray(restored["lr_scale"]), 1.0)
+    assert "missing leaf lr_scale" in capsys.readouterr().out
+
+
 def test_stoi_identity_and_noise(rng):
     sr = 10000
     t = np.arange(sr * 2) / sr

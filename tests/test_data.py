@@ -116,6 +116,52 @@ def test_factory_from_config(wav_tree):
     assert batch["wav"].shape == (2, 24000)
 
 
+def test_factory_devices_per_shard(wav_tree):
+    """Multi-chip hosts: the dataset's batch grouping must use the FINAL
+    global batch (batch_size * devices * shards), and the loader emits
+    batch_size * devices per host — no desync between grouping and
+    emitted batch boundaries (reference audio.py:99-118 semantics)."""
+    hps = HParams(
+        data=_dirs_hp(wav_tree).to_dict()
+        | {"dataset": {"train": "DirectoriesDataset"}},
+        train={"batch_size": 2, "num_workers": 1, "seed": 1})
+    ds, loader = get_dataset_dataloader(hps, "train", ["wav"], num_shards=2,
+                                        shard=0, devices_per_shard=2)
+    assert loader.batch_size == 4          # per-host batch: 2 per chip x 2
+    batch = next(iter(loader))
+    assert batch["wav"].shape == (4, 24000)
+    # the filelist dataset's length-sorted grouping receives the final
+    # global batch (DirectoriesDataset samples randomly — no grouping)
+    from hilcodec_tpu.data.datasets import FilelistDataset
+    bound = None
+    orig = FilelistDataset.__init__
+
+    def spy(self, hp, keys, mode="train", batch_size=1, verbose=True):
+        nonlocal bound
+        bound = batch_size
+        return orig(self, hp, keys, mode=mode, batch_size=batch_size,
+                    verbose=verbose)
+
+    FilelistDataset.__init__ = spy
+    try:
+        hps2 = HParams(
+            data=_dirs_hp(wav_tree).to_dict()
+            | {"dataset": {"valid": "Dataset"},
+               "filelists": {"valid": os.path.join(wav_tree, "list.txt")},
+               "wav_dir": wav_tree, "filter": {"valid": True}},
+            train={"batch_size": 2, "num_workers": 1, "seed": 1},
+            valid={"batch_size": 2})
+        names = [f for f in os.listdir(os.path.join(wav_tree, "clean"))]
+        with open(os.path.join(wav_tree, "list.txt"), "w") as f:
+            for n in names:
+                f.write(f"clean/{n}|\n")
+        get_dataset_dataloader(hps2, "valid", ["wav"], num_shards=2,
+                               shard=0, devices_per_shard=2)
+    finally:
+        FilelistDataset.__init__ = orig
+    assert bound == 8                      # 2 x 2 devices x 2 shards
+
+
 def test_paired_clean_noisy(tmp_path, rng):
     from hilcodec_tpu.data.datasets import PairedCleanNoisyDataset
     for sub in ("clean", "noisy"):

@@ -193,7 +193,9 @@ def test_disc_update_ratio_skips_d(rng):
                 if getattr(kp[-1], "key", None) != "u"]
     for a, b in zip(weights(state.params_d), weights(s1.params_d)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert float(m1["loss/d"]) == 0.0  # computation skipped, not masked
+    # skipped steps report NaN so epoch averages cover update steps only
+    # (the reference computes loss_d only on those steps)
+    assert np.isnan(float(m1["loss/d"]))
 
     # iteration 1: (1+1) % 2 = 0 < 1 -> update D
     s2, m2 = step(s1, jnp.asarray(wav), jax.random.PRNGKey(2))
@@ -296,3 +298,51 @@ def test_compute_dtype_from_config():
     assert _compute_dtype_from_config(H(fp16_g=True)) == jnp.bfloat16
     assert _compute_dtype_from_config(
         H(fp16_g=True, compute_dtype="float32")) == jnp.float32
+
+
+def test_d_nonfinite_guard(rng):
+    """A non-finite discriminator loss/grad must skip the D update instead
+    of corrupting params_d (the reference's scaler_d backoff case)."""
+    trainer = tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    # poison one D conv weight -> inf logits -> non-finite d_loss/d_grads
+    params_d = jax.tree.map(lambda x: x, state.params_d)
+    params_d["mfbd"]["discs"][0]["convs"][0]["g"] = (
+        params_d["mfbd"]["discs"][0]["convs"][0]["g"] * jnp.inf)
+    state = state._replace(params_d=params_d)
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    new_state, metrics = jax.jit(trainer.train_step)(
+        state, jnp.asarray(wav), jax.random.PRNGKey(1))
+
+    def weights(p):
+        return [l for kp, l in jax.tree_util.tree_flatten_with_path(p)[0]
+                if getattr(kp[-1], "key", None) != "u"]
+
+    # D params untouched (no inf/nan written into previously-finite leaves)
+    for a, b in zip(weights(state.params_d), weights(new_state.params_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isnan(float(metrics["loss/d"]))
+
+
+def test_novq_trainer_step(rng):
+    """`vq: ""` ablation trains: gradients flow encoder->decoder directly,
+    loss_vq == 0, num_replaces empty (models.py:101-118 quantizer=None)."""
+    import dataclasses
+    from hilcodec_tpu.ops.rvq import NoVQ
+
+    base = tiny_trainer()
+    model = CodecModel(base.model.codec, NoVQ())
+    trainer = dataclasses.replace(base, model=model)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32)
+    new_state, metrics = jax.jit(trainer.train_step)(
+        state, jnp.asarray(wav), jax.random.PRNGKey(1))
+    assert float(metrics["finite"]) == 1.0
+    assert float(metrics["loss/vq"]) == 0.0
+    assert np.asarray(metrics["num_replaces"]).shape == (0,)
+    # encoder params move (grads flow through the pass-through "quantizer")
+    enc0 = jax.tree.leaves(state.params_g["encoder"])[0]
+    enc1 = jax.tree.leaves(new_state.params_g["encoder"])[0]
+    assert not np.allclose(np.asarray(enc0), np.asarray(enc1))
