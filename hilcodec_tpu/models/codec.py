@@ -93,6 +93,15 @@ class CodecModel:
     def from_config(cls, model_kwargs: Dict[str, Any]) -> "CodecModel":
         vq_kwargs = dict(model_kwargs.get("vq_kwargs", {}))
         codec = HILCodec.from_config(model_kwargs)
+        # `vq:` config routing (reference models.py:101-106): "ResidualVQ"
+        # builds the quantizer, "" runs the codec without one (ablation),
+        # anything else is rejected.
+        vq_name = model_kwargs.get("vq", "ResidualVQ")
+        if vq_name == "":
+            return cls(codec, Q.NoVQ())
+        if vq_name != "ResidualVQ":
+            raise ValueError(f"Unknown vq: {vq_name!r} (supported: "
+                             f"'ResidualVQ', '')")
         vq = Q.ResidualVQ(
             dim=vq_kwargs.get("dim", 128),
             codebook_size=vq_kwargs.get("codebook_size", 1024),
@@ -138,6 +147,9 @@ class CodecModel:
     def encode(self, params: Params, vq_state: Q.VQState, wav: jnp.ndarray,
                n: Optional[int] = None) -> jnp.ndarray:
         """wav [B, 1, T] -> tokens [n, B, T/hop] (int32)."""
+        if isinstance(self.vq, Q.NoVQ):
+            raise ValueError("codec built with vq: '' has no quantizer; "
+                             "token encode/decode is unavailable")
         z = self.codec.encoder.apply(params["encoder"], wav)
         return PQ.quantize(z.swapaxes(1, 2), vq_state["embed"], n=n)
 

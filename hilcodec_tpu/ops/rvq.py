@@ -300,6 +300,38 @@ class ResidualVQ:
         return jnp.asarray(idx, jnp.int32)[choice]
 
 
+@dataclasses.dataclass(frozen=True)
+class NoVQ:
+    """The `vq: ""` ablation: codec without a quantizer (reference
+    models/hilcodec/models.py:101-106 sets quantizer=None and the forward
+    passes encoder latents straight to the decoder with zero VQ loss and
+    an empty num_replaces list). Implements the ResidualVQ call protocol
+    so every trainer/loop path runs unchanged."""
+    num_quantizers: int = 0
+    kmeans_init: bool = False
+    dropout: bool = False
+
+    def init_state(self, key: jax.Array) -> VQState:
+        # "initted" keeps the state tree non-empty for checkpointing
+        return {"initted": jnp.ones((), jnp.bool_)}
+
+    def kmeans_init_state(self, state: VQState, x: jnp.ndarray,
+                          key: jax.Array,
+                          axis_name: Optional[str] = None) -> VQState:
+        return state
+
+    def __call__(self, x: jnp.ndarray, state: VQState, key: jax.Array,
+                 n: Optional[jnp.ndarray] = None, training: bool = True,
+                 axis_name: Optional[str] = None):
+        del key, n, training, axis_name
+        loss_vq = jnp.zeros((), jnp.float32)
+        num_replaces = jnp.zeros((0,), jnp.int32)
+        return x, state, loss_vq, num_replaces, None
+
+    def sample_n(self, key: jax.Array) -> Optional[jnp.ndarray]:
+        return None
+
+
 def _to_channel_last(x: jnp.ndarray, channel_last: bool) -> jnp.ndarray:
     return x if channel_last else x.swapaxes(1, 2)
 

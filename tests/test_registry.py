@@ -72,3 +72,34 @@ def test_build_avocodo_and_audiodec():
 def test_unknown_model():
     with pytest.raises(ValueError):
         build_model("nope", {})
+
+
+def test_vq_config_routing():
+    """`vq:` name routing (reference models.py:101-106): "ResidualVQ"
+    builds a quantizer, "" runs without one, unknown names are rejected."""
+    import jax
+    import pytest
+
+    from hilcodec_tpu.models.codec import CodecModel
+    from hilcodec_tpu.ops.rvq import NoVQ, ResidualVQ
+
+    kw = dict(channels_enc=8, channels_dec=8, n_residual_enc=1,
+              n_residual_dec=1, strides=[4, 2], n_fft_base=16,
+              vq_kwargs={"dim": 16, "codebook_size": 32,
+                         "num_quantizers": 2, "kmeans_init": False})
+    assert isinstance(CodecModel.from_config(dict(kw)).vq, ResidualVQ)
+
+    novq = CodecModel.from_config(dict(kw, vq=""))
+    assert isinstance(novq.vq, NoVQ)
+    params, vq_state = novq.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+    wav = jnp.zeros((1, 1, novq.hop_length * 4))
+    wav_g, _, loss_vq, n_rep = novq.forward(params, vq_state, wav,
+                                            jax.random.PRNGKey(1))
+    assert wav_g.shape == wav.shape
+    assert float(loss_vq) == 0.0 and n_rep.shape == (0,)
+    with pytest.raises(ValueError, match="no quantizer"):
+        novq.encode(params, vq_state, wav)
+
+    with pytest.raises(ValueError, match="Unknown vq"):
+        CodecModel.from_config(dict(kw, vq="ResidualGainShapeVQ"))
