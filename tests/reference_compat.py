@@ -68,15 +68,68 @@ def install_reference_stubs() -> None:
             def __call__(self, x):
                 return x
 
-        class MelSpectrogram:  # noqa: D401 - placeholder
-            def __init__(self, *a, **k):
-                pass
+        # Real (torch.stft-backed) Spectrogram / MelSpectrogram with
+        # torchaudio's exact semantics at the operating points the
+        # reference uses (center=False, power=None complex / power=2 mel,
+        # normalized = window-norm). Needed so the reference's
+        # STFTDiscriminator and MelLoss run as true oracles in the
+        # training-step parity test.
+        import torch
 
-            def __call__(self, x):
-                raise RuntimeError("torchaudio stub: MelSpectrogram "
-                                   "unavailable")
+        class Spectrogram(torch.nn.Module):
+            def __init__(self, n_fft=400, win_length=None, hop_length=None,
+                         pad=0, window_fn=None, power=2.0, normalized=False,
+                         center=True, pad_mode="reflect", onesided=True,
+                         **_k):
+                super().__init__()
+                self.n_fft = n_fft
+                self.win_length = win_length or n_fft
+                self.hop_length = hop_length or self.win_length // 2
+                self.power = power
+                self.normalized = normalized
+                self.center = center
+                window_fn = window_fn or torch.hann_window
+                self.register_buffer("window", window_fn(self.win_length))
+
+            def forward(self, x):
+                shape = x.shape
+                spec = torch.stft(
+                    x.reshape(-1, shape[-1]), self.n_fft, self.hop_length,
+                    self.win_length, self.window, center=self.center,
+                    normalized=False, onesided=True, return_complex=True)
+                if self.normalized:  # torchaudio: window normalization
+                    spec = spec / self.window.pow(2).sum().sqrt()
+                spec = spec.reshape(*shape[:-1], *spec.shape[-2:])
+                if self.power is None:
+                    return spec
+                return spec.abs() ** self.power
+
+        class MelSpectrogram(torch.nn.Module):
+            def __init__(self, sample_rate=16000, n_fft=400,
+                         win_length=None, hop_length=None, n_mels=128,
+                         f_min=0.0, f_max=None, pad=0, power=2.0,
+                         normalized=False, center=True,
+                         pad_mode="reflect", norm=None,
+                         mel_scale="htk", **_k):
+                super().__init__()
+                self.spectrogram = Spectrogram(
+                    n_fft=n_fft, win_length=win_length,
+                    hop_length=hop_length, power=power,
+                    normalized=normalized, center=center,
+                    pad_mode=pad_mode)
+                from hilcodec_tpu.ops.mel import mel_filterbank
+                fb = mel_filterbank(sample_rate, n_fft, n_mels, f_min,
+                                    f_max, norm=norm,
+                                    htk=(mel_scale == "htk"))
+                self.register_buffer("fb",
+                                     torch.from_numpy(np.asarray(fb)))
+
+            def forward(self, x):
+                spec = self.spectrogram(x)          # [..., F, L]
+                return torch.matmul(self.fb.to(spec.dtype), spec)
 
         tr.Resample = Resample
+        tr.Spectrogram = Spectrogram
         tr.MelSpectrogram = MelSpectrogram
         ta.transforms = tr
 

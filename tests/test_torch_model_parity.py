@@ -205,6 +205,7 @@ def test_hilcodec_decoder_batch_parity(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hilcodec_encoder_batch_parity_fullsize(rng):
     """The shipped speech topology (64/96ch, strides [8,5,4,2], 2 enc
     resblocks) — assembled-network parity at real scale."""
