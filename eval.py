@@ -132,8 +132,17 @@ def main():
 
         hps = load_config(ns.config)
         sr_cfg = sr_cfg or hps.data.sampling_rate
-        model = build_model(hps.get("model", "hilcodec"),
-                            hps.model_kwargs.to_dict())
+        model_name = hps.get("model", "hilcodec")
+        model = build_model(model_name, hps.model_kwargs.to_dict())
+        if model_name == "avocodo":
+            # the avocodo generator has no token encode/decode API; wrap
+            # it in the trainer's CodecModel facade and reconstruct via
+            # forward at the chosen bitrate (step_avocodo.py)
+            from hilcodec_tpu.models.registry import _vq_from_kwargs
+            from hilcodec_tpu.train.step_avocodo import AvocodoCodecModel
+            model = AvocodoCodecModel(
+                model, _vq_from_kwargs(
+                    hps.model_kwargs.to_dict().get("vq_kwargs", {})))
         params, vq_state = model.init(jax.random.PRNGKey(0))
         vq_state = dict(vq_state)
         if ns.ckpt:

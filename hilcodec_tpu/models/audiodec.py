@@ -377,3 +377,8 @@ class AudioDec:
                    ) -> Tuple[Cache, Cache]:
         return (self.encoder.init_cache(batch, dtype),
                 self.decoder.init_cache(batch, dtype))
+
+    def fold_params(self, params: Params) -> Params:
+        """Deployment fold: remove weight_norm from the decoder convs
+        (the encoder is norm-free; codebooks pass through)."""
+        return R.fold_tree(params, R.WEIGHT_NORM)

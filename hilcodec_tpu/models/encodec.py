@@ -474,6 +474,11 @@ class EncodecModel:
         return (self.encoder.init_cache(batch, dtype),
                 self.decoder.init_cache(batch, dtype))
 
+    def fold_params(self, params: Params) -> Params:
+        """Deployment fold: remove weight_norm from every conv
+        (streaming export path; LSTM params pass through)."""
+        return R.fold_tree(params, self.norm)
+
 
 # ---------------------------------------------------------------------------
 # Streaming transformer LM (modules/transformer.py, models.py:21-56)

@@ -151,3 +151,27 @@ def fold(params: ParamDict, norm: str) -> ParamDict:
     if "b" in params and params["b"] is not None:
         out["b"] = params["b"]
     return out
+
+
+def fold_tree(params, norm: str = WEIGHT_NORM):
+    """Recursively fold every reparameterized conv dict in a param tree.
+
+    Any dict node shaped like a reparameterized weight ({v, g} for
+    weight_norm / weight_standardization, {v, u} for spectral_norm)
+    becomes {w[, b]}; everything else passes through. Whole-model
+    analogue of remove_weight_reparameterizations for families whose
+    layers detect folded params structurally (models/layers.py).
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            if "v" in node and ("g" in node or "u" in node):
+                n = (SPECTRAL_NORM if "u" in node
+                     else WEIGHT_STANDARDIZATION if "scale" in node
+                     else norm)
+                return fold(node, n)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)

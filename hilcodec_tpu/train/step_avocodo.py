@@ -55,7 +55,8 @@ class AvocodoCodecModel:
         z = self.codec.encoder.apply(params["encoder"], wav)
         q, vq_state, loss_vq, n_rep, _ = self.vq(
             z, vq_state, key, n=n, training=training, axis_name=axis_name)
-        wav_g = self.codec.decoder.apply(params["decoder"], q)
+        wav_g = self.codec.decoder.apply(params["decoder"], q,
+                                         return_list=False)
         return wav_g.astype(jnp.float32), vq_state, loss_vq, n_rep
 
     def forward_multiscale(self, params, vq_state, wav, key, n=None,

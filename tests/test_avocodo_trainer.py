@@ -60,3 +60,26 @@ def test_avocodo_train_step(rng):
     a = jax.tree.leaves(state.params_g)[0]
     b = jax.tree.leaves(new_state.params_g)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_avocodo_codec_forward_single_scale(rng):
+    """The infer/pesq reconstruction path uses forward(), which must return
+    the full-rate head only (ys[-1]) — not the multi-scale list the
+    training step consumes (regression: epoch-10 infer crash)."""
+    model = AvocodoModel(channels_enc=8, channels_dec=8, n_fft_base=16,
+                         n_residual_enc=1, n_residual_dec=1,
+                         strides=(4, 2, 4, 2), vq_dim=16,
+                         res_scale_enc=0.577, res_scale_dec=0.577)
+    vq = ResidualVQ(dim=16, codebook_size=32, num_quantizers=2,
+                    kmeans_init=False)
+    codec = AvocodoCodecModel(model, vq)
+    params, vq_state = codec.init(jax.random.PRNGKey(0))
+    hop = codec.hop_length
+    wav = jnp.asarray((rng.standard_normal((2, 1, hop * 8)) * 0.3)
+                      .astype(np.float32))
+    wav_g, _, loss_vq, _ = codec.forward(params, vq_state, wav,
+                                         jax.random.PRNGKey(1),
+                                         training=False)
+    assert isinstance(wav_g, jnp.ndarray)
+    assert wav_g.shape == wav.shape
+    assert np.isfinite(float(loss_vq))
