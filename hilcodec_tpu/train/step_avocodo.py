@@ -59,6 +59,21 @@ class AvocodoCodecModel:
                                          return_list=False)
         return wav_g.astype(jnp.float32), vq_state, loss_vq, n_rep
 
+    # offline token coding (eval.py / export parity with CodecModel)
+    def encode(self, params, vq_state, wav, n=None):
+        """wav [B, 1, T] -> tokens [n, B, T/hop] (int32)."""
+        from ..ops import pallas_rvq as PQ
+        z = self.codec.encoder.apply(params["encoder"], wav)
+        return PQ.quantize(z.swapaxes(1, 2), vq_state["embed"], n=n)
+
+    def decode(self, params, vq_state, tokens):
+        """tokens [n, B, T'] -> full-rate wav [B, 1, T'*hop]."""
+        from ..ops import rvq as Q
+        q = Q.dequantize(tokens, vq_state["embed"])
+        return self.codec.decoder.apply(params["decoder"],
+                                        q.swapaxes(1, 2),
+                                        return_list=False)
+
     def forward_multiscale(self, params, vq_state, wav, key, n=None,
                            training=True, axis_name=None):
         z = self.codec.encoder.apply(params["encoder"], wav)
