@@ -83,3 +83,29 @@ def test_avocodo_codec_forward_single_scale(rng):
     assert isinstance(wav_g, jnp.ndarray)
     assert wav_g.shape == wav.shape
     assert np.isfinite(float(loss_vq))
+
+
+def test_avocodo_codec_encode_decode(rng):
+    """eval.py scores the avocodo family through the CodecModel token
+    protocol: encode -> int tokens [n, B, T'], decode -> full-rate wav
+    whose quantized path matches forward() with a trained codebook."""
+    model = AvocodoModel(channels_enc=8, channels_dec=8, n_fft_base=16,
+                         n_residual_enc=1, n_residual_dec=1,
+                         strides=(4, 2, 4, 2), vq_dim=16,
+                         res_scale_enc=0.577, res_scale_dec=0.577)
+    vq = ResidualVQ(dim=16, codebook_size=32, num_quantizers=2,
+                    kmeans_init=False)
+    codec = AvocodoCodecModel(model, vq)
+    params, vq_state = codec.init(jax.random.PRNGKey(0))
+    vq_state = dict(vq_state)
+    vq_state["embed"] = jax.random.normal(
+        jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
+    hop = codec.hop_length
+    wav = jnp.asarray((rng.standard_normal((2, 1, hop * 8)) * 0.3)
+                      .astype(np.float32))
+    tokens = codec.encode(params, vq_state, wav)
+    assert tokens.shape == (2, 2, 8)
+    assert jnp.issubdtype(tokens.dtype, jnp.integer)
+    out = codec.decode(params, vq_state, tokens)
+    assert out.shape == wav.shape
+    assert np.all(np.isfinite(np.asarray(out)))
