@@ -289,7 +289,12 @@ def main():
 
 def _mfu(jax, compiled, dt):
     """(flops/step, mfu, peak TFLOPs) from XLA cost analysis; mfu is None
-    off-TPU or for unknown chips."""
+    off-TPU or for unknown chips.
+
+    CAVEAT: cost analysis dense-counts grouped/depthwise convolutions
+    (measured: the generator forward is assigned 827 GFLOP but runs in
+    1.2-1.8 ms), so mfu here is an upper bound on counted work — fine for
+    the qualitative dispatch-bound-vs-compute-bound call it supports."""
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):

@@ -23,6 +23,13 @@ HBM_GBPS = {"v5 lite": 819, "v5litepod": 819, "v5e": 819, "v4": 1228,
 
 
 def _cost(compiled):
+    """XLA cost-analysis FLOPs/bytes. CAVEAT (measured on axon/v5e): the
+    analysis dense-counts grouped/depthwise convolutions — the HILCodec
+    generator forward (depthwise-separable stack) is assigned 827 GFLOP /
+    21 GB accessed but measures 1.2-1.8 ms, an impossible 460 TF/s /
+    18 TB/s. Derived MFU / HBM-utilization numbers are therefore upper
+    bounds on *counted* work, not achieved hardware fractions; measured
+    ms_per_step is the ground truth."""
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
@@ -33,13 +40,19 @@ def _cost(compiled):
         return 0.0, 0.0
 
 
-def _time_fn(fn, args, reps=10):
+def _time_fn(fn, argsets, reps=10):
+    """Time fn over `reps` calls, cycling through pre-staged argument
+    variants. CRITICAL on the axon backend: repeated dispatches with
+    byte-identical inputs can be deduped/short-circuited upstream, making
+    fixed-input loops report near-zero times — every rep must differ in
+    at least one input."""
     import jax
-    out = fn(*args)
+    out = fn(*argsets[0])
     jax.block_until_ready(out)
+    jax.block_until_ready(argsets)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    for i in range(reps):
+        out = fn(*argsets[i % len(argsets)])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps
 
@@ -165,12 +178,17 @@ def main():
             return Lo.discriminator_loss(f32(lg), f32(lr))
         return jax.value_and_grad(d_fn)(state.params_d)[0]
 
+    # pre-staged input variants so no two reps see identical buffers
+    keys = [jax.random.PRNGKey(100 + i) for i in range(10)]
+    wavs = [wav * (1.0 + 1e-6 * i) for i in range(10)]
+    swk = [(state, w, k) for w, k in zip(wavs, keys)]
+    sw = [(state, w) for w in wavs]
     comps = {
-        "gen_fwd": _time_fn(gen_fwd, (state, wav, key)),
-        "gen_fwd_bwd": _time_fn(gen_fwd_bwd, (state, wav, key)),
-        "disc_fwd_1x": _time_fn(disc_fwd, (state, wav)),
-        "mel_fwd_pullback": _time_fn(mel_pullback, (state, wav, key)),
-        "d_loss_bwd": _time_fn(d_bwd, (state, wav, key)),
+        "gen_fwd": _time_fn(gen_fwd, swk),
+        "gen_fwd_bwd": _time_fn(gen_fwd_bwd, swk),
+        "disc_fwd_1x": _time_fn(disc_fwd, sw),
+        "mel_fwd_pullback": _time_fn(mel_pullback, swk),
+        "d_loss_bwd": _time_fn(d_bwd, swk),
     }
     print(json.dumps({k: round(v * 1e3, 1) for k, v in comps.items()}))
 
