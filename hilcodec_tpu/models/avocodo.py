@@ -329,7 +329,9 @@ class CoMBD:
 
     def _pqmf1(self, x: jnp.ndarray, cfg) -> jnp.ndarray:
         sub, taps, cutoff, beta = cfg
-        return P.analysis(x, sub, taps, cutoff, beta)[:, :1]
+        # ParallelWaveGAN bank (no sqrt(subbands)), CoMBD.py:70-74
+        return P.analysis(x, sub, taps, cutoff, beta,
+                          orthonormal=False)[:, :1]
 
     def apply(self, params: Params, ys: List[jnp.ndarray]):
         """ys: list of waveforms at increasing rates (last = full rate)."""
@@ -398,7 +400,8 @@ class AvocodoDiscriminators:
                                             h.get("pqmf_kwargs"))) or {},
                 f_pqmf_kwargs=pq(pqmf_cfg.get("fsbd",
                                               h.get("f_pqmf_kwargs"))),
-                segment_size=h.get("segment_size"))
+                segment_size=h.get("segment_size"),
+                pqmf_orthonormal=False)
         object.__setattr__(self, "discs", discs)
 
     def init(self, key: jax.Array) -> Params:
@@ -421,6 +424,10 @@ def pqmf_targets(wav: jnp.ndarray, pqmf_config: Dict[str, Tuple]
     wav] (avocodo wrapper.py:229-233)."""
     lv2 = pqmf_config["lv2"]
     lv1 = pqmf_config["lv1"]
-    return [P.analysis(wav, lv2[0], lv2[1], lv2[2], lv2[3])[:, :1],
-            P.analysis(wav, lv1[0], lv1[1], lv1[2], lv1[3])[:, :1],
+    # the avocodo wrapper builds targets with its ParallelWaveGAN PQMF
+    # (no sqrt(subbands) factor), models/avocodo/avocodo/pqmf.py:71-96
+    return [P.analysis(wav, lv2[0], lv2[1], lv2[2], lv2[3],
+                       orthonormal=False)[:, :1],
+            P.analysis(wav, lv1[0], lv1[1], lv1[2], lv1[3],
+                       orthonormal=False)[:, :1],
             wav]

@@ -529,6 +529,10 @@ class SBD:
     f_pqmf_kwargs: Optional[Dict[str, Any]] = None
     segment_size: Optional[int] = None
     norm: str = R.WEIGHT_NORM
+    # hilcodec's SBD uses the orthonormal functional PQMF (x sqrt(subbands),
+    # models/hilcodec/avocodo.py:10 imports functional.PQMF); avocodo's SBD
+    # copy uses the unscaled ParallelWaveGAN bank (SBD.py:8, avocodo/pqmf.py)
+    pqmf_orthonormal: bool = True
 
     def __post_init__(self):
         blocks = []
@@ -553,7 +557,8 @@ class SBD:
                           kwargs.get("taps", 62),
                           kwargs.get("cutoff_freq",
                                      kwargs.get("cutoff_ratio", 0.142)),
-                          kwargs.get("beta", 9.0))
+                          kwargs.get("beta", 9.0),
+                          orthonormal=self.pqmf_orthonormal)
 
     def apply(self, params: Params, x: jnp.ndarray):
         logits, fmaps = [], []

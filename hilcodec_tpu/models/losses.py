@@ -180,11 +180,19 @@ class HifiGANMelLoss:
 
 # ---------------------------------------------------------------------------
 # adversarial losses (losses.py:171-234)
+#
+# `normalize` pins a deliberate divergence between the reference's two
+# losses.py copies: the hilcodec copy divides by the number of logit/fmap
+# tensors (models/hilcodec/losses.py:180,189,222), while the avocodo copy
+# ships with those divisions commented out — plain sums — so the paper's
+# weights (freq 45, fm 2, ...) apply to unnormalized totals
+# (models/avocodo/losses.py:91,100,133 `#/ n_logits`). The avocodo trainer
+# passes normalize=False.
 # ---------------------------------------------------------------------------
 
-def discriminator_loss(logits_g: DiscOutput,
-                       logits_r: DiscOutput) -> jnp.ndarray:
-    """Hinge loss, mean over all logit tensors."""
+def discriminator_loss(logits_g: DiscOutput, logits_r: DiscOutput,
+                       normalize: bool = True) -> jnp.ndarray:
+    """Hinge loss over all logit tensors (mean if normalize, else sum)."""
     loss = jnp.zeros((), jnp.float32)
     n = 0
     for name in logits_g:
@@ -192,11 +200,11 @@ def discriminator_loss(logits_g: DiscOutput,
             loss = loss + jnp.mean(jax.nn.relu(1.0 - lr)) \
                 + jnp.mean(jax.nn.relu(1.0 + lg))
             n += 1
-    return loss / n
+    return loss / n if normalize else loss
 
 
-def discriminator_loss_lsgan(logits_g: DiscOutput,
-                             logits_r: DiscOutput) -> jnp.ndarray:
+def discriminator_loss_lsgan(logits_g: DiscOutput, logits_r: DiscOutput,
+                             normalize: bool = True) -> jnp.ndarray:
     loss = jnp.zeros((), jnp.float32)
     n = 0
     for name in logits_g:
@@ -204,42 +212,45 @@ def discriminator_loss_lsgan(logits_g: DiscOutput,
             loss = loss + jnp.mean(jnp.square(1.0 - lr)) \
                 + jnp.mean(jnp.square(lg))
             n += 1
-    return loss / n
+    return loss / n if normalize else loss
 
 
-def generator_loss(logits: DiscOutput) -> LossOutput:
+def generator_loss(logits: DiscOutput,
+                   normalize: bool = True) -> LossOutput:
     out: LossOutput = {}
     for name, lgs in logits.items():
         loss = jnp.zeros((), jnp.float32)
         for lg in lgs:
             loss = loss + jnp.mean(jax.nn.relu(1.0 - lg))
-        out[f"{name}_g"] = loss / len(lgs)
+        out[f"{name}_g"] = loss / len(lgs) if normalize else loss
     return out
 
 
-def generator_loss_lsgan(logits: DiscOutput) -> LossOutput:
+def generator_loss_lsgan(logits: DiscOutput,
+                         normalize: bool = True) -> LossOutput:
     out: LossOutput = {}
     for name, lgs in logits.items():
         loss = jnp.zeros((), jnp.float32)
         for lg in lgs:
             loss = loss + jnp.mean(jnp.square(1.0 - lg))
-        out[f"{name}_g"] = loss / len(lgs)
+        out[f"{name}_g"] = loss / len(lgs) if normalize else loss
     return out
 
 
-def feature_loss(fmaps_g: DiscOutput, fmaps_r: DiscOutput) -> LossOutput:
+def feature_loss(fmaps_g: DiscOutput, fmaps_r: DiscOutput,
+                 normalize: bool = True) -> LossOutput:
     out: LossOutput = {}
     for name in fmaps_g:
         loss = jnp.zeros((), jnp.float32)
         for g, r in zip(fmaps_g[name], fmaps_r[name]):
             r = jax.lax.stop_gradient(r)
             loss = loss + jnp.mean(jnp.abs(g - r))
-        out[f"{name}_fm"] = loss / len(fmaps_g[name])
+        out[f"{name}_fm"] = loss / len(fmaps_g[name]) if normalize else loss
     return out
 
 
-def feature_loss_normalized(fmaps_g: DiscOutput,
-                            fmaps_r: DiscOutput) -> LossOutput:
+def feature_loss_normalized(fmaps_g: DiscOutput, fmaps_r: DiscOutput,
+                            normalize: bool = True) -> LossOutput:
     """L1 feature matching normalized by the real activations' mean |.|
     (losses.py:226-234)."""
     out: LossOutput = {}
@@ -249,5 +260,5 @@ def feature_loss_normalized(fmaps_g: DiscOutput,
             r = jax.lax.stop_gradient(r)
             denom = jnp.maximum(jnp.mean(jnp.abs(r)), 1e-12)
             loss = loss + jnp.mean(jnp.abs(g - r)) / denom
-        out[f"{name}_fm"] = loss / len(fmaps_g[name])
+        out[f"{name}_fm"] = loss / len(fmaps_g[name]) if normalize else loss
     return out

@@ -29,6 +29,45 @@ _DIMS = ("NCH", "OIH", "NCH")
 # NCHW activations, OIHW weights — 2-D convs (discriminators)
 _DIMS2D = ("NCHW", "OIHW", "NCHW")
 
+# Lowering of pure depthwise convs (groups == Cin == Cout):
+#   "conv"  — lax.conv_general_dilated with feature_group_count (default)
+#   "shift" — k shifted elementwise FMAs on the VPU. A depthwise conv does
+#     k FLOPs/sample — no MXU work — so its cost is pure bandwidth; the
+#     shift form keeps both the forward AND its autodiff transposes
+#     (pad/slice/multiply/reduce) in XLA's elementwise-fusion regime
+#     instead of grouped-conv gradient lowerings. Opt-in pending an
+#     on-chip A/B of the train step (BASELINE round-3 bottleneck row).
+_DEPTHWISE_LOWERING = "conv"
+
+
+def set_depthwise_lowering(mode: str) -> None:
+    """Select the depthwise-conv lowering ("conv" | "shift") for later
+    traces. Affects tracing only — call before jit/compile."""
+    global _DEPTHWISE_LOWERING
+    if mode not in ("conv", "shift"):
+        raise ValueError(f"unknown depthwise lowering {mode!r}")
+    _DEPTHWISE_LOWERING = mode
+
+
+def _shift_depthwise(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                     dilation: int, padding: Tuple[int, int]) -> jnp.ndarray:
+    """Depthwise conv1d as k shifted FMAs. x: [B, C, L]; w: [C, 1, k]."""
+    k = w.shape[-1]
+    if padding != (0, 0):
+        x = jnp.pad(x, ((0, 0), (0, 0), padding))
+    tout = (x.shape[-1] - dilation * (k - 1) - 1) // stride + 1
+    w = w.astype(x.dtype)
+    y = w[None, :, 0, 0:1] * lax.slice(
+        x, (0, 0, 0), (x.shape[0], x.shape[1], (tout - 1) * stride + 1),
+        (1, 1, stride))
+    for j in range(1, k):
+        sl = lax.slice(x, (0, 0, j * dilation),
+                       (x.shape[0], x.shape[1],
+                        j * dilation + (tout - 1) * stride + 1),
+                       (1, 1, stride))
+        y = y + w[None, :, 0, j:j + 1] * sl
+    return y
+
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
            stride: Tuple[int, int] = (1, 1),
@@ -49,10 +88,14 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
            stride: int = 1, dilation: int = 1, groups: int = 1,
            padding: Tuple[int, int] = (0, 0)) -> jnp.ndarray:
     """Plain conv1d. x: [B, Cin, L]; w: [Cout, Cin/groups, k]; b: [Cout]."""
-    y = lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=(stride,), padding=[padding],
-        rhs_dilation=(dilation,), dimension_numbers=_DIMS,
-        feature_group_count=groups)
+    if (_DEPTHWISE_LOWERING == "shift" and groups > 1
+            and groups == x.shape[1] == w.shape[0] and w.shape[1] == 1):
+        y = _shift_depthwise(x, w, stride, dilation, padding)
+    else:
+        y = lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(stride,),
+            padding=[padding], rhs_dilation=(dilation,),
+            dimension_numbers=_DIMS, feature_group_count=groups)
     if b is not None:
         y = y + b.astype(y.dtype)[None, :, None]
     return y
@@ -123,6 +166,37 @@ def _convt_weight_as_conv(w: jnp.ndarray, groups: int) -> jnp.ndarray:
     return w.reshape(groups * cout_g, cin_g, k)
 
 
+def _shift_depthwise_convt(x: jnp.ndarray, w: jnp.ndarray,
+                           stride: int) -> jnp.ndarray:
+    """Causal depthwise transposed conv as a polyphase bank of shifted
+    FMAs. x: [B, C, L]; w: [C, 1, k] (torch ConvTranspose1d layout).
+
+    Derivation: y[i] = sum_a w[a] * x[(i-a)/s] over a ≡ i (mod s), so
+    output phase p = i mod s is the causal FIR y_p[t] = sum_m w[p+m*s]
+    * x[t-m] — each phase ceil((k-p)/s) taps, interleaved back by a
+    reshape. Matches `causal_conv_transpose1d` (right-trim k-s) exactly.
+    """
+    B, C, L = x.shape
+    k = w.shape[-1]
+    s = stride
+    w = w.astype(x.dtype)
+    n_taps = -(-k // s)  # max taps over phases
+    xp = jnp.pad(x, ((0, 0), (0, 0), (n_taps - 1, 0)))
+    phases = []
+    for p in range(s):
+        y = None
+        for m in range(n_taps):
+            a = p + m * s
+            if a >= k:
+                break
+            sl = lax.slice(xp, (0, 0, n_taps - 1 - m),
+                           (B, C, n_taps - 1 - m + L))
+            term = w[None, :, 0, a:a + 1] * sl
+            y = term if y is None else y + term
+        phases.append(y)
+    return jnp.stack(phases, axis=-1).reshape(B, C, L * s)
+
+
 def causal_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
                             b: Optional[jnp.ndarray] = None, stride: int = 1,
                             dilation: int = 1, groups: int = 1
@@ -135,6 +209,12 @@ def causal_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
     w layout follows torch ConvTranspose1d: [Cin, Cout/groups, k].
     """
     k = w.shape[-1]
+    if (_DEPTHWISE_LOWERING == "shift" and dilation == 1 and groups > 1
+            and groups == x.shape[1] == w.shape[0] and w.shape[1] == 1):
+        y = _shift_depthwise_convt(x, w, stride)
+        if b is not None:
+            y = y + b.astype(y.dtype)[None, :, None]
+        return y
     wc = _convt_weight_as_conv(w, groups)
     rf = dilation * (k - 1)
     # full transposed conv = lhs-dilated conv with padding (rf, rf);

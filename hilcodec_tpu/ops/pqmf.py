@@ -33,23 +33,33 @@ def design_prototype_filter(taps: int = 62, cutoff_ratio: float = 0.142,
 
 @lru_cache(maxsize=None)
 def pqmf_filter(subbands: int, taps: int = 62, cutoff_ratio: float = 0.142,
-                beta: float = 9.0) -> np.ndarray:
-    """[subbands, 1, taps+1] cosine-modulated analysis bank."""
+                beta: float = 9.0, orthonormal: bool = True) -> np.ndarray:
+    """[subbands, 1, taps+1] cosine-modulated analysis bank.
+
+    orthonormal=True multiplies by sqrt(subbands) — the hilcodec
+    functional/audio_modules.py:240-300 convention (MFBD/hilcodec-SBD).
+    orthonormal=False is the ParallelWaveGAN bank the avocodo family uses
+    (models/avocodo/avocodo/pqmf.py:71-96: no sqrt factor) for CoMBD
+    multi-scale inputs, avocodo-SBD and the wrapper's PQMF targets."""
     h = design_prototype_filter(taps, cutoff_ratio, beta)[None, :]
     k = np.arange(subbands, dtype=np.float64)[:, None]
     n = np.arange(taps + 1, dtype=np.float64)[None, :]
     bank = (2.0 * h * np.cos(
         (2 * k + 1) * np.pi / (2 * subbands) * (n - taps / 2)
-        + (-1.0) ** k * np.pi / 4) * subbands ** 0.5)
+        + (-1.0) ** k * np.pi / 4))
+    if orthonormal:
+        bank = bank * subbands ** 0.5
     return bank[:, None, :].astype(np.float32)
 
 
 def analysis(x: jnp.ndarray, subbands: int, taps: int = 62,
-             cutoff_ratio: float = 0.142, beta: float = 9.0) -> jnp.ndarray:
+             cutoff_ratio: float = 0.142, beta: float = 9.0,
+             orthonormal: bool = True) -> jnp.ndarray:
     """x: [B, 1, T] (or [B, T]) -> [B, subbands, T // subbands]."""
     if x.ndim == 2:
         x = x[:, None, :]
-    w = jnp.asarray(pqmf_filter(subbands, taps, cutoff_ratio, beta))
+    w = jnp.asarray(pqmf_filter(subbands, taps, cutoff_ratio, beta,
+                                orthonormal))
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(subbands,),
         padding=[(taps // 2, taps // 2)], dimension_numbers=_DIMS)

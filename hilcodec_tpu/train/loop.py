@@ -91,9 +91,15 @@ def build_avocodo_trainer(hps, axis_name: Optional[str] = None):
         _optim_sched_from_config(hps)
     pqmf_config = {k: tuple(v) for k, v in
                    hps.pqmf_config.to_dict().items()}
+    # the avocodo wrapper hardcodes its single-resolution HifiGAN-style
+    # mel at the MODEL hop (models/avocodo/wrapper.py:54-59 passes
+    # self.hop_size = prod(strides)), not the hilcodec multi-res MelLoss
+    mel_loss = HifiGANMelLoss(
+        hps.data.sampling_rate, hps.data.clip_val, hps.data.n_fft,
+        hps.data.get("num_mels", 80), model.hop_length, hps.data.win_size)
     return AvocodoTrainer(
         model=AvocodoCodecModel(model, vq), disc=disc,
-        mel_loss=_mel_loss_from_config(hps),
+        mel_loss=mel_loss,
         balancer=SimpleBalancer.from_config(hp.balancer_kwargs.to_dict()),
         optim_g=optim_g, optim_d=optim_d, sched_g=sched, sched_d=sched,
         lr_g=lr_g, lr_d=lr_d, pqmf_config=pqmf_config,
@@ -123,6 +129,12 @@ def build_trainer(hps, axis_name: Optional[str] = None):
     hilcodec/encodec share the balancer GAN step (both are CodecModels);
     avocodo gets its own trainer; audiodec is streaming/deploy-only in the
     reference (no training wrapper exists there either)."""
+    # optional lowering override for the training graph's depthwise convs
+    # (train.depthwise_lowering: shift — see ops/conv.py, A/B'd on-chip)
+    from ..ops import conv as _conv
+    _conv.set_depthwise_lowering(
+        hps.train.get("depthwise_lowering", "conv")
+        if hasattr(hps, "train") else "conv")
     name = hps.get("model", "hilcodec")
     if name == "avocodo":
         return build_avocodo_trainer(hps, axis_name)

@@ -124,12 +124,18 @@ class AvocodoTrainer:
             axis_name=self.axis_name)
 
     def _loss_fns(self):
-        g_loss_fn = (Lo.generator_loss_lsgan if self.use_lsgan
-                     else Lo.generator_loss)
-        fm_loss_fn = (Lo.feature_loss_normalized if self.use_normalized_fm
-                      else Lo.feature_loss)
-        d_loss_fn = (Lo.discriminator_loss_lsgan if self.use_lsgan
-                     else Lo.discriminator_loss)
+        # the avocodo losses copy sums over logit/fmap tensors WITHOUT the
+        # hilcodec copy's per-count normalization (the divisions are
+        # commented out there, models/avocodo/losses.py:91,100,133) — the
+        # paper's weights apply to the raw sums
+        from functools import partial
+        g_loss_fn = partial(Lo.generator_loss_lsgan if self.use_lsgan
+                            else Lo.generator_loss, normalize=False)
+        fm_loss_fn = partial(
+            Lo.feature_loss_normalized if self.use_normalized_fm
+            else Lo.feature_loss, normalize=False)
+        d_loss_fn = partial(Lo.discriminator_loss_lsgan if self.use_lsgan
+                            else Lo.discriminator_loss, normalize=False)
         return g_loss_fn, fm_loss_fn, d_loss_fn
 
     def compute_grads(self, state: AvocodoTrainState, wav_r: jnp.ndarray,

@@ -58,8 +58,11 @@ def _time_fn(fn, argsets, reps=10):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--breakdown"]
+    args = [a for a in sys.argv[1:]
+            if a != "--breakdown" and not a.startswith("--dw")]
     breakdown = "--breakdown" in sys.argv
+    dw = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--dw=")),
+              "conv")
     which = args[0] if args else "f32"
     batch = int(args[1]) if len(args) > 1 else 24
 
@@ -67,11 +70,13 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from hilcodec_tpu.ops import conv as conv_ops
     from hilcodec_tpu.train.loop import build_trainer
     from hilcodec_tpu.utils.hparams import load_config
 
     hps = load_config("configs/hilcodec_speech_synth.yaml")
     trainer = build_trainer(hps)
+    conv_ops.set_depthwise_lowering(dw)  # after build_trainer (which resets)
     if which == "bf16":
         trainer = dataclasses.replace(trainer, compute_dtype=jnp.bfloat16)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -98,7 +103,7 @@ def main():
     peak = next((v for k, v in PEAKS_TFLOPS.items() if k in kind), None)
     bw = next((v for k, v in HBM_GBPS.items() if k in kind), None)
     out = {
-        "dtype": which, "batch": batch,
+        "dtype": which, "batch": batch, "dw": dw,
         "ms_per_step": round(dt * 1e3, 1),
         "audio_s_per_s": round(batch * seg / 24000 / dt, 1),
         "finite": float(m["finite"]),
@@ -178,6 +183,37 @@ def main():
             return Lo.discriminator_loss(f32(lg), f32(lr))
         return jax.value_and_grad(d_fn)(state.params_d)[0]
 
+    @jax.jit
+    def fam_pullbacks(state, wav, key):
+        """The K per-discriminator-family cotangent pullbacks w.r.t. wav_g
+        (the balancer's inputs) — G-side disc work."""
+        from hilcodec_tpu.models import losses as Lo
+        wav_g, _, _, _ = model.forward(
+            cast(state.params_g), state.vq_state, cast(wav), key,
+            training=True)
+        wav_g = jax.lax.stop_gradient(wav_g)
+        f32 = lambda t: jax.tree.map(lambda x: x.astype(jnp.float32), t)
+        pd = cast(state.params_d)
+        _, fmaps_r = disc.apply(pd, cast(wav))
+        fmaps_r = jax.lax.stop_gradient(f32(fmaps_r))
+        outs = []
+        for name, d in disc.discs.items():
+            def fam(wv, d=d, name=name):
+                lg, fg = d.apply(pd[name], cast(wv))
+                g_l = Lo.generator_loss({name: f32(lg)})[f"{name}_g"]
+                fm_l = Lo.feature_loss_normalized(
+                    {name: f32(fg)}, {name: fmaps_r[name]})[f"{name}_fm"]
+                return (g_l, fm_l)
+            (g_l, fm_l), pull = jax.vjp(fam, wav_g)
+            one, zero = jnp.ones_like(g_l), jnp.zeros_like(g_l)
+            outs.append(pull((one, zero))[0] + pull((zero, one))[0])
+        return sum(outs)
+
+    @jax.jit
+    def grads_only(state, wav, key):
+        aux = trainer.compute_grads(state, wav, key)
+        return aux["g_grads"], aux["d_grads"]
+
     # pre-staged input variants so no two reps see identical buffers
     keys = [jax.random.PRNGKey(100 + i) for i in range(10)]
     wavs = [wav * (1.0 + 1e-6 * i) for i in range(10)]
@@ -188,7 +224,10 @@ def main():
         "gen_fwd_bwd": _time_fn(gen_fwd_bwd, swk),
         "disc_fwd_1x": _time_fn(disc_fwd, sw),
         "mel_fwd_pullback": _time_fn(mel_pullback, swk),
+        "fam_pullbacks": _time_fn(fam_pullbacks, swk),
         "d_loss_bwd": _time_fn(d_bwd, swk),
+        "compute_grads": _time_fn(grads_only, swk),
+        "full_step": dt,
     }
     print(json.dumps({k: round(v * 1e3, 1) for k, v in comps.items()}))
 

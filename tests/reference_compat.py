@@ -25,6 +25,16 @@ def _stub(name: str) -> types.ModuleType:
 
 
 def install_reference_stubs() -> None:
+    # scipy>=1.13 moved window functions to scipy.signal.windows; the
+    # reference's avocodo PQMF does `from scipy.signal import kaiser`
+    # (models/avocodo/avocodo/pqmf.py:15)
+    try:
+        import scipy.signal
+        if not hasattr(scipy.signal, "kaiser"):
+            scipy.signal.kaiser = scipy.signal.windows.kaiser
+    except ImportError:
+        pass
+
     if "librosa" not in sys.modules:
         librosa = _stub("librosa")
         filters = _stub("librosa.filters")

@@ -164,3 +164,68 @@ def test_causal_convtr_stream_equals_batch(k, s, d, g, ch, rng):
         outs.append(np.asarray(y))
     stream = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(full, stream, rtol=1e-5, atol=1e-5)
+
+
+DW_CASES = [c for c in CASES if c[3] > 1 and c[3] == c[4] == c[5]]
+
+
+@pytest.mark.parametrize("k,s,d,g,cin,cout", DW_CASES + [(5, 1, 1, 6, 6, 6)])
+def test_depthwise_shift_lowering_matches_conv(k, s, d, g, cin, cout, rng):
+    """The opt-in "shift" depthwise lowering (k shifted FMAs on the VPU)
+    equals the feature_group_count conv lowering — forward AND both
+    gradients — for every depthwise case the codec family uses."""
+    import jax
+
+    B, L = 2, 80
+    x = rng.standard_normal((B, cin, L)).astype(np.float32)
+    w = (rng.standard_normal((cout, 1, k)) * 0.3).astype(np.float32)
+
+    def run(mode):
+        C.set_depthwise_lowering(mode)
+        try:
+            f = lambda x, w: C.causal_conv1d(
+                jnp.asarray(x), jnp.asarray(w), None, s, d, g)
+            y = f(x, w)
+            gx, gw = jax.grad(
+                lambda x, w: jnp.sum(jnp.tanh(f(x, w))), argnums=(0, 1))(
+                    jnp.asarray(x), jnp.asarray(w))
+            return np.asarray(y), np.asarray(gx), np.asarray(gw)
+        finally:
+            C.set_depthwise_lowering("conv")
+
+    ref = run("conv")
+    got = run("shift")
+    for name, a, b in zip(("y", "gx", "gw"), got, ref):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
+                                   err_msg=name)
+
+
+@pytest.mark.parametrize("k,s", [(16, 8), (10, 5), (8, 4), (4, 2), (5, 1),
+                                 (7, 3)])
+def test_depthwise_shift_lowering_matches_convt(k, s, rng):
+    """Polyphase shift lowering of the depthwise causal transposed conv
+    == the lhs-dilated conv lowering (forward + both gradients)."""
+    import jax
+
+    B, ch, L = 2, 6, 40
+    x = rng.standard_normal((B, ch, L)).astype(np.float32)
+    w = (rng.standard_normal((ch, 1, k)) * 0.3).astype(np.float32)
+
+    def run(mode):
+        C.set_depthwise_lowering(mode)
+        try:
+            f = lambda x, w: C.causal_conv_transpose1d(
+                jnp.asarray(x), jnp.asarray(w), None, s, 1, ch)
+            y = f(x, w)
+            gx, gw = jax.grad(
+                lambda x, w: jnp.sum(jnp.tanh(f(x, w))), argnums=(0, 1))(
+                    jnp.asarray(x), jnp.asarray(w))
+            return np.asarray(y), np.asarray(gx), np.asarray(gw)
+        finally:
+            C.set_depthwise_lowering("conv")
+
+    ref = run("conv")
+    got = run("shift")
+    for name, a, b in zip(("y", "gx", "gw"), got, ref):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
+                                   err_msg=name)
