@@ -346,3 +346,26 @@ def test_novq_trainer_step(rng):
     enc0 = jax.tree.leaves(state.params_g["encoder"])[0]
     enc1 = jax.tree.leaves(new_state.params_g["encoder"])[0]
     assert not np.allclose(np.asarray(enc0), np.asarray(enc1))
+
+
+def test_depthwise_lowering_config_plumb():
+    """`train.depthwise_lowering: shift` reaches ops.conv's lowering flag
+    through build_trainer (and resets to "conv" for configs without it)."""
+    from hilcodec_tpu.ops import conv as C
+    from hilcodec_tpu.train.loop import build_trainer
+    from hilcodec_tpu.utils.hparams import load_config
+
+    hps = load_config("configs/hilcodec_speech_synth.yaml")
+    hps.model_kwargs.channels_enc = 8
+    hps.model_kwargs.channels_dec = 8
+    hps.model_kwargs.n_residual_enc = 1
+    hps.model_kwargs.n_residual_dec = 1
+    try:
+        hps.train.depthwise_lowering = "shift"
+        build_trainer(hps)
+        assert C._DEPTHWISE_LOWERING == "shift"
+        del hps.train.depthwise_lowering
+        build_trainer(hps)
+        assert C._DEPTHWISE_LOWERING == "conv"
+    finally:
+        C.set_depthwise_lowering("conv")
