@@ -45,16 +45,21 @@ def _time_fn(fn, argsets, reps=10):
     variants. CRITICAL on the axon backend: repeated dispatches with
     byte-identical inputs can be deduped/short-circuited upstream, making
     fixed-input loops report near-zero times — every rep must differ in
-    at least one input."""
+    at least one input. Each rep blocks individually so per-rep spread is
+    visible (a tiny min with a huge max means the loop was pipelined or
+    deduped, not computed)."""
     import jax
     out = fn(*argsets[0])
     jax.block_until_ready(out)
     jax.block_until_ready(argsets)
-    t0 = time.perf_counter()
+    ts = []
     for i in range(reps):
+        t0 = time.perf_counter()
         out = fn(*argsets[i % len(argsets)])
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]  # median of individually-blocked reps
 
 
 def main():
@@ -220,16 +225,35 @@ def main():
     swk = [(state, w, k) for w, k in zip(wavs, keys)]
     sw = [(state, w) for w in wavs]
     comps = {
-        "gen_fwd": _time_fn(gen_fwd, swk),
-        "gen_fwd_bwd": _time_fn(gen_fwd_bwd, swk),
-        "disc_fwd_1x": _time_fn(disc_fwd, sw),
-        "mel_fwd_pullback": _time_fn(mel_pullback, swk),
-        "fam_pullbacks": _time_fn(fam_pullbacks, swk),
-        "d_loss_bwd": _time_fn(d_bwd, swk),
-        "compute_grads": _time_fn(grads_only, swk),
-        "full_step": dt,
+        "gen_fwd": (gen_fwd, swk),
+        "gen_fwd_bwd": (gen_fwd_bwd, swk),
+        "disc_fwd_1x": (disc_fwd, sw),
+        "mel_fwd_pullback": (mel_pullback, swk),
+        "fam_pullbacks": (fam_pullbacks, swk),
+        "d_loss_bwd": (d_bwd, swk),
+        "compute_grads": (grads_only, swk),
     }
-    print(json.dumps({k: round(v * 1e3, 1) for k, v in comps.items()}))
+    # analytic MXU floor per component (jaxpr walk, grouped-conv-correct):
+    # a measured time below its floor is physically impossible => the
+    # measurement, not the chip, is wrong (round-3 1.8 ms gen_fwd case)
+    sys.path.insert(0, "scripts")
+    from flops_analysis import analyze_jaxpr
+    out_rows = {}
+    for name, (f, sets) in comps.items():
+        rows = []
+        try:
+            analyze_jaxpr(jax.make_jaxpr(f)(*sets[0]).jaxpr, rows)
+            fl = sum(r[1] for r in rows
+                     if r[0] in ("conv_general_dilated", "dot_general"))
+            floor_ms = fl / ((peak or 197) * 1e12) * 1e3
+        except Exception:
+            floor_ms = 0.0
+        t_ms = _time_fn(f, sets) * 1e3
+        out_rows[name] = {"ms": round(t_ms, 1),
+                          "mxu_floor_ms": round(floor_ms, 2),
+                          "impossible": bool(t_ms < floor_ms * 0.95)}
+    out_rows["full_step_ms"] = round(dt * 1e3, 1)
+    print(json.dumps(out_rows))
 
 
 if __name__ == "__main__":
