@@ -278,7 +278,9 @@ def main():
                 wav, cache_enc, cache_dec).compile()
         except Exception:
             pass
-    flops, mfu, peak = _mfu(jax, flops_src, dt)
+    scan_fn = enc_dec_scan if mega_active else enc_dec
+    flops, mfu, peak = _mfu(jax, flops_src, dt,
+                            fn=scan_fn, args=(wav, cache_enc, cache_dec))
     if flops:
         result["achieved_tflops"] = round(flops / dt / 1e12, 3)
         if mfu is not None:
@@ -287,21 +289,34 @@ def main():
     print(json.dumps(result))
 
 
-def _mfu(jax, compiled, dt):
-    """(flops/step, mfu, peak TFLOPs) from XLA cost analysis; mfu is None
-    off-TPU or for unknown chips.
-
-    CAVEAT: cost analysis dense-counts grouped/depthwise convolutions
-    (measured: the generator forward is assigned 827 GFLOP but runs in
-    1.2-1.8 ms), so mfu here is an upper bound on counted work — fine for
-    the qualitative dispatch-bound-vs-compute-bound call it supports."""
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0, None, None
+def _mfu(jax, compiled, dt, fn=None, args=None):
+    """(flops/step, mfu, peak TFLOPs); mfu is None off-TPU or for unknown
+    chips. When (fn, args) are given, FLOPs come from the analytic jaxpr
+    walk (scripts/flops_analysis.py — grouped-conv-correct, scan-aware);
+    otherwise falls back to XLA cost analysis. (Round-3 note: the two now
+    agree on this model family — the earlier "cost analysis overcounts
+    depthwise convs" caveat traced to a broken component measurement, not
+    to the counter.)"""
+    flops = 0.0
+    if fn is not None:
+        try:
+            import sys as _sys
+            _sys.path.insert(0, "scripts")
+            from flops_analysis import analyze_jaxpr
+            rows = []
+            analyze_jaxpr(jax.make_jaxpr(fn)(*args).jaxpr, rows)
+            flops = float(sum(r[1] for r in rows if r[0] in
+                              ("conv_general_dilated", "dot_general")))
+        except Exception:
+            flops = 0.0
+    if flops <= 0:
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            return 0.0, None, None
     kind = jax.devices()[0].device_kind.lower()
     # bf16/f32-accumulate MXU peaks per chip (public TPU specs)
     peaks = {"v5 lite": 197, "v5litepod": 197, "v5e": 197,
