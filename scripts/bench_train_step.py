@@ -23,13 +23,13 @@ HBM_GBPS = {"v5 lite": 819, "v5litepod": 819, "v5e": 819, "v4": 1228,
 
 
 def _cost(compiled):
-    """XLA cost-analysis FLOPs/bytes. CAVEAT (measured on axon/v5e): the
-    analysis dense-counts grouped/depthwise convolutions — the HILCodec
-    generator forward (depthwise-separable stack) is assigned 827 GFLOP /
-    21 GB accessed but measures 1.2-1.8 ms, an impossible 460 TF/s /
-    18 TB/s. Derived MFU / HBM-utilization numbers are therefore upper
-    bounds on *counted* work, not achieved hardware fractions; measured
-    ms_per_step is the ground truth."""
+    """XLA cost-analysis FLOPs/bytes. The analytic jaxpr counter
+    (scripts/flops_analysis.py) agrees with these counts on this model
+    family (generator forward: 828 GFLOP analytic vs 827 XLA) — the
+    round-3 "dense-counts depthwise" caveat traced to impossible
+    *measurements* (1.8 ms for 4.2 ms of MXU-floor work), not to this
+    counter. MFU derived here is still an upper bound on executed work:
+    XLA CSE dedupes the repeated discriminator forwards."""
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
