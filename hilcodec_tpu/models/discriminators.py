@@ -28,6 +28,20 @@ from ..ops import stft as S
 Params = Dict[str, Any]
 LRELU_SLOPE = 0.1
 
+# FilterBankDiscriminator execution: "conv2d" (default, the reference
+# shape) or "bands1d" (fold the kh=1 `period` axis into batch and run the
+# stack as conv1d — identical math, prepared for an on-chip train-step A/B;
+# `train.fbd_lowering: bands1d` selects it from configs via build_trainer).
+_FBD_LOWERING = "conv2d"
+
+
+def set_fbd_lowering(mode: str) -> None:
+    """Select the FilterBank disc lowering for later traces."""
+    global _FBD_LOWERING
+    if mode not in ("conv2d", "bands1d"):
+        raise ValueError(f"unknown fbd lowering {mode!r}")
+    _FBD_LOWERING = mode
+
 
 def _lrelu(x, slope=LRELU_SLOPE):
     return jax.nn.leaky_relu(x, slope)
@@ -204,6 +218,8 @@ class MultiSTFTDiscriminator:
 
 @dataclasses.dataclass(frozen=True)
 class FilterBankDiscriminator:
+    """period: PQMF bank size; see module-level set_fbd_lowering for the
+    conv2d-vs-bands1d execution choice."""
     period: int
     taps: int = 0
     beta: float = 0.0
@@ -231,6 +247,8 @@ class FilterBankDiscriminator:
         else:
             z = P.analysis(x, self.period, self.taps, self.cutoff_freq,
                            self.beta)[:, None]      # [B, 1, period, T']
+        if _FBD_LOWERING == "bands1d":
+            return self._apply_bands1d(params, z)
         fmap = []
         for p, k, s in zip(params["convs"], self.kernel_sizes, self.strides):
             z = C.conv2d(z, _weight(p, self.norm), p.get("b"), (1, s),
@@ -240,6 +258,34 @@ class FilterBankDiscriminator:
         z = C.conv2d(z, _weight(params["post"], self.norm),
                      params["post"].get("b"), (1, 1), (1, 1),
                      ((0, 0), (1, 1)))
+        fmap.append(z)
+        return z.reshape(z.shape[0], -1), fmap
+
+    def _apply_bands1d(self, params: Params, z: jnp.ndarray):
+        """Bands-in-batch lowering: every conv in this stack has kh=1, so
+        the `period` axis never mixes — fold it into the batch and run the
+        whole stack as conv1d ([B,1,H,W] -> [B*H,1,W]). Mathematically
+        identical (parity-tested); prepared as an on-chip A/B because the
+        MFBD dense convs dominate the train step's FLOPs and the 2-D form
+        leaves H as a small awkward spatial dim (flops_analysis.py)."""
+        B, _, H, W = z.shape
+
+        def to4d(y):
+            b, c, w = y.shape
+            return y.reshape(B, H, c, w).transpose(0, 2, 1, 3)
+
+        y = z.transpose(0, 2, 1, 3).reshape(B * H, 1, W)
+        fmap = []
+        for p, k, s in zip(params["convs"], self.kernel_sizes, self.strides):
+            w = _weight(p, self.norm)
+            y = C.conv1d(y, w[:, :, 0, :], p.get("b"), s,
+                         padding=(get_padding(k), get_padding(k)))
+            y = _lrelu(y)
+            fmap.append(to4d(y))
+        w = _weight(params["post"], self.norm)
+        y = C.conv1d(y, w[:, :, 0, :], params["post"].get("b"), 1,
+                     padding=(1, 1))
+        z = to4d(y)
         fmap.append(z)
         return z.reshape(z.shape[0], -1), fmap
 

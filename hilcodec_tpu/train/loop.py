@@ -129,12 +129,16 @@ def build_trainer(hps, axis_name: Optional[str] = None):
     hilcodec/encodec share the balancer GAN step (both are CodecModels);
     avocodo gets its own trainer; audiodec is streaming/deploy-only in the
     reference (no training wrapper exists there either)."""
-    # optional lowering override for the training graph's depthwise convs
-    # (train.depthwise_lowering: shift — see ops/conv.py, A/B'd on-chip)
+    # optional lowering overrides for the training graph (A/B'd on-chip):
+    # train.depthwise_lowering: shift (ops/conv.py) and
+    # train.fbd_lowering: bands1d (models/discriminators.py)
+    from ..models import discriminators as _discs
     from ..ops import conv as _conv
+    has_train = hasattr(hps, "train")
     _conv.set_depthwise_lowering(
-        hps.train.get("depthwise_lowering", "conv")
-        if hasattr(hps, "train") else "conv")
+        hps.train.get("depthwise_lowering", "conv") if has_train else "conv")
+    _discs.set_fbd_lowering(
+        hps.train.get("fbd_lowering", "conv2d") if has_train else "conv2d")
     name = hps.get("model", "hilcodec")
     if name == "avocodo":
         return build_avocodo_trainer(hps, axis_name)

@@ -64,10 +64,12 @@ def _time_fn(fn, argsets, reps=10):
 
 def main():
     args = [a for a in sys.argv[1:]
-            if a != "--breakdown" and not a.startswith("--dw")]
+            if a != "--breakdown" and not a.startswith(("--dw", "--fbd"))]
     breakdown = "--breakdown" in sys.argv
     dw = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--dw=")),
               "conv")
+    fbd = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--fbd=")), "conv2d")
     which = args[0] if args else "f32"
     batch = int(args[1]) if len(args) > 1 else 24
 
@@ -79,9 +81,13 @@ def main():
     from hilcodec_tpu.train.loop import build_trainer
     from hilcodec_tpu.utils.hparams import load_config
 
+    from hilcodec_tpu.models import discriminators as disc_mod
+
     hps = load_config("configs/hilcodec_speech_synth.yaml")
     trainer = build_trainer(hps)
-    conv_ops.set_depthwise_lowering(dw)  # after build_trainer (which resets)
+    # after build_trainer (which resets both flags from the config)
+    conv_ops.set_depthwise_lowering(dw)
+    disc_mod.set_fbd_lowering(fbd)
     if which == "bf16":
         trainer = dataclasses.replace(trainer, compute_dtype=jnp.bfloat16)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -108,7 +114,7 @@ def main():
     peak = next((v for k, v in PEAKS_TFLOPS.items() if k in kind), None)
     bw = next((v for k, v in HBM_GBPS.items() if k in kind), None)
     out = {
-        "dtype": which, "batch": batch, "dw": dw,
+        "dtype": which, "batch": batch, "dw": dw, "fbd": fbd,
         "ms_per_step": round(dt * 1e3, 1),
         "audio_s_per_s": round(batch * seg / 24000 / dt, 1),
         "finite": float(m["finite"]),

@@ -127,3 +127,43 @@ def test_avg_pool_matches_torch(rng):
     ref = torch.nn.AvgPool1d(4, 2, padding=1)(torch.from_numpy(x)).numpy()
     out = np.asarray(D._avg_pool1d(jnp.asarray(x)))
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
+
+
+def test_fbd_bands1d_lowering_matches_conv2d(shipped_discs, rng):
+    """The bands-in-batch conv1d lowering of the FilterBank discriminators
+    (every conv has kh=1, so the period axis never mixes) must reproduce
+    the conv2d path exactly — logits, every fmap, and gradients."""
+    mfbd = shipped_discs.discs["mfbd"]
+    params = mfbd.init(jax.random.PRNGKey(3))
+    x = jnp.asarray((rng.standard_normal((2, 1, 4800)) * 0.3)
+                    .astype(np.float32))
+
+    def run(mode):
+        D.set_fbd_lowering(mode)
+        try:
+            logits, fmaps = mfbd.apply(params, x)
+            g = jax.grad(lambda p: sum(jnp.sum(jnp.square(l))
+                                       for l in mfbd.apply(p, x)[0]))(params)
+            return logits, fmaps, g
+        finally:
+            D.set_fbd_lowering("conv2d")
+
+    ref_l, ref_f, ref_g = run("conv2d")
+    got_l, got_f, got_g = run("bands1d")
+    for i, (a, b) in enumerate(zip(got_l, ref_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"logit {i}")
+    assert len(got_f) == len(ref_f)
+    for i, (a, b) in enumerate(zip(got_f, ref_f)):
+        assert a.shape == b.shape, f"fmap {i} shape"
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"fmap {i}")
+    for (pa, a), (pb, b) in zip(
+            zip(map(str, jax.tree_util.tree_leaves_with_path(got_g)),
+                jax.tree.leaves(got_g)),
+            zip(map(str, jax.tree_util.tree_leaves_with_path(ref_g)),
+                jax.tree.leaves(ref_g))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5, err_msg=pa)
