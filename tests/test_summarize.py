@@ -57,3 +57,22 @@ def test_terminal_helpers():
     S.clear_current_line(file=buf)
     s = buf.getvalue()
     assert "step 1/10" in s and s.count("\r\033[K") == 2
+
+
+def test_debug_helpers(tmp_path):
+    """utils/debug.py: non-finite scanner, zero-grad finder, file logger
+    (reference utils/debug.py NaN scanner / DDP unused-param finder)."""
+    from hilcodec_tpu.utils import debug as Dbg
+
+    tree = {"ok": np.ones((3,), np.float32),
+            "nan": np.array([1.0, np.nan], np.float32),
+            "zero": np.zeros((4,), np.float32)}
+    assert Dbg.find_nonfinite(tree) == ["nan"]
+    assert Dbg.find_zero_grads(tree) == ["zero"]
+
+    logger = Dbg.FileLogger(str(tmp_path / "run.log"))
+    logger.log("hello")
+    logger.log("world")
+    lines = open(tmp_path / "run.log").read().splitlines()
+    assert len(lines) == 2 and lines[0].endswith("hello") \
+        and lines[0].startswith("[")
