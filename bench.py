@@ -39,7 +39,8 @@ def parse_args(argv):
                 sys.exit(f"error: {flag} requires a value")
             if flag == "--model":
                 model_name = argv[i + 1]
-                if model_name not in ("hilcodec", "encodec", "audiodec"):
+                if model_name not in ("hilcodec", "encodec", "audiodec",
+                                      "avocodo"):
                     sys.exit(f"error: unknown --model {model_name!r}")
                 argv = argv[:i] + argv[i + 2:]
                 continue
@@ -154,6 +155,10 @@ def build_bench_model(model_name):
     elif model_name == "encodec":
         from hilcodec_tpu.models.encodec import EncodecModel
         codec = EncodecModel()          # SEANet + 2-layer LSTM bottleneck
+        vq_dim = 128
+    elif model_name == "avocodo":
+        from hilcodec_tpu.models.avocodo import AvocodoModel
+        codec = AvocodoModel()          # streams the full-rate head
         vq_dim = 128
     else:
         from hilcodec_tpu.models.audiodec import AudioDec

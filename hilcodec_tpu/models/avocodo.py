@@ -253,6 +253,21 @@ class AvocodoModel:
         return {"encoder": self.encoder.init(k1),
                 "decoder": self.decoder.init(k2)}
 
+    # CodecModel-protocol streaming surface: wrap as
+    # `CodecModel(AvocodoModel(...), vq)` to stream the deployment graph
+    # (full-rate head only — AvocodoDecoder.step) like every other family.
+    def init_cache(self, batch: int, dtype=jnp.float32):
+        return (self.encoder.init_cache(batch, dtype),
+                self.decoder.init_cache(batch, dtype))
+
+    def fold_params(self, params: Params) -> Params:
+        """Deployment fold: the encoder reuses HILCodec's fold (weight-norm
+        removal + scale merges); the avocodo decoder applies stage_scale /
+        wav_std explicitly inside step, so plain weight-norm folding
+        suffices there."""
+        return {"encoder": self.encoder.fold_params(params["encoder"]),
+                "decoder": R.fold_tree(params["decoder"], self.norm)}
+
 
 # ---------------------------------------------------------------------------
 # CoMBD (avocodo/CoMBD.py)

@@ -19,6 +19,7 @@ timeout 1200 python scripts/bench_train_step.py bf16 24 --dw=shift --fbd=bands1d
 
 echo "=== 4. headline streaming bench regression (analytic MFU line)"
 timeout 1200 python bench.py 128
+timeout 1200 python bench.py 128 --model avocodo   # 4th family RTF row
 
 echo "=== 5. (long) encodec trained-quality row:"
 echo "  python train.py -n synth_encodec -c configs/encodec_synth.yaml"

@@ -80,3 +80,42 @@ def test_simple_balancer():
     total = sb.total({"freq": jnp.asarray(2.0), "combd_g": jnp.asarray(3.0)},
                      jnp.asarray(10.0))
     np.testing.assert_allclose(float(total), 45 * 2 + 3 + 0.1, rtol=1e-6)
+
+
+def test_avocodo_codec_streaming_protocol(rng):
+    """AvocodoModel wrapped in CodecModel streams the deployment graph:
+    encode_stream tokens == offline encode, decode_stream == the batched
+    full-rate head with folded params (bench.py --model avocodo path)."""
+    from hilcodec_tpu.models.codec import CodecModel
+    from hilcodec_tpu.ops.rvq import ResidualVQ
+
+    codec = AvocodoModel(channels_enc=8, channels_dec=8, n_fft_base=16,
+                         n_residual_enc=1, n_residual_dec=1,
+                         strides=(4, 2, 4, 2), vq_dim=16)
+    model = CodecModel(codec, ResidualVQ(dim=16, codebook_size=32,
+                                         num_quantizers=4,
+                                         kmeans_init=False))
+    params, vq_state = model.init(jax.random.PRNGKey(0))
+    vq_state = dict(vq_state)
+    vq_state["embed"] = jax.random.normal(
+        jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
+    params = model.fold_params(params)
+
+    hop = model.hop_length
+    wav = jnp.asarray((rng.standard_normal((2, 1, hop * 6)) * 0.3)
+                      .astype(np.float32))
+    cache_enc, cache_dec = model.init_cache(2)
+
+    tokens_off = model.encode(params, vq_state, wav)
+    tokens, _ = model.encode_stream(params, vq_state, wav, cache_enc)
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  np.asarray(tokens_off))
+
+    out, _ = model.decode_stream(params, vq_state, tokens, cache_dec)
+    full = codec.decoder.apply(
+        params["decoder"],
+        __import__("hilcodec_tpu.ops.rvq", fromlist=["dequantize"])
+        .dequantize(tokens, vq_state["embed"]).swapaxes(1, 2),
+        return_list=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
