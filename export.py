@@ -31,12 +31,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from hilcodec_tpu.models.registry import build_model
+    from hilcodec_tpu.models.registry import build_codec_model
     from hilcodec_tpu.utils.checkpoint import _flatten, load_checkpoint
     from hilcodec_tpu.utils.hparams import load_config
 
     hps = load_config(ns.config)
-    model = build_model(hps.get("model", "hilcodec"),
+    model = build_codec_model(hps.get("model", "hilcodec"),
                         hps.model_kwargs.to_dict())
 
     params, vq_state = model.init(jax.random.PRNGKey(0))

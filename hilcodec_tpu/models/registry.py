@@ -70,3 +70,20 @@ def build_model(name: str, model_kwargs: Dict[str, Any]):
     if name not in MODELS:
         raise ValueError(f"unknown model {name!r}; known: {list(MODELS)}")
     return MODELS[name](model_kwargs)
+
+
+def build_codec_model(name: str, model_kwargs: Dict[str, Any]) -> CodecModel:
+    """Streaming/deployment surface for every family: a CodecModel
+    (init -> (params, vq_state), encode/decode, encode_stream/decode_stream,
+    init_cache, fold_params). hilcodec/encodec already build one; avocodo
+    and audiodec return bare generators from build_model (their trainers
+    use family-specific wrappers), so wrap them here — this is what
+    infer.py / export.py need."""
+    m = build_model(name, model_kwargs)
+    if hasattr(m, "encode_stream"):
+        return m
+    vq_kwargs = dict(model_kwargs.get("vq_kwargs", {}))
+    # audiodec configs carry no vq_kwargs; its RVQ dim is the code_dim
+    vq_kwargs.setdefault("dim", getattr(m, "vq_dim", None)
+                         or getattr(m, "code_dim", 128))
+    return CodecModel(m, _vq_from_kwargs(vq_kwargs))

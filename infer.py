@@ -36,12 +36,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from hilcodec_tpu.models.registry import build_model
+    from hilcodec_tpu.models.registry import build_codec_model
     from hilcodec_tpu.utils.hparams import load_config
     from hilcodec_tpu.utils.wavio import read_wav, write_wav
 
     hps = load_config(ns.config)
-    model = build_model(hps.get("model", "hilcodec"),
+    model = build_codec_model(hps.get("model", "hilcodec"),
                         hps.model_kwargs.to_dict())
     sr = hps.data.sampling_rate
 

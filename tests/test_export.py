@@ -35,3 +35,19 @@ def test_export_cli_writes_reference_cache_layout(tmp_path, monkeypatch):
     assert (len(dec.files), n_dec) == (30, 43968)
     assert all(not enc[k].any() for k in enc.files)
     assert os.path.getsize(out + "_deploy.npz") > 10_000
+
+
+def test_export_cli_avocodo_family(tmp_path, monkeypatch):
+    """export.py works for the avocodo family via build_codec_model
+    (previously crashed: the bare AvocodoModel has no (params, vq_state)
+    init)."""
+    out = str(tmp_path / "avo")
+    monkeypatch.setattr(sys, "argv", [
+        "export.py", "-c", "configs/avocodo_synth.yaml", "-o", out])
+    runpy.run_path("export.py", run_name="__main__")
+    enc = np.load(out + "_cache_enc.npz")
+    dec = np.load(out + "_cache_dec.npz")
+    deploy = np.load(out + "_deploy.npz")
+    assert "codebooks" in deploy
+    assert len(enc.files) and len(dec.files)
+    assert all(not enc[k].any() for k in enc.files)

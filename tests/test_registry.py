@@ -103,3 +103,34 @@ def test_vq_config_routing():
 
     with pytest.raises(ValueError, match="Unknown vq"):
         CodecModel.from_config(dict(kw, vq="ResidualGainShapeVQ"))
+
+
+def test_build_codec_model_protocol_all_families():
+    """build_codec_model returns the full CodecModel protocol for every
+    family (infer.py/export.py surface): init -> (params, vq_state),
+    streaming caches, fold_params."""
+    import jax
+
+    from hilcodec_tpu.models.registry import build_codec_model
+
+    cases = {
+        "hilcodec": {"channels_enc": 8, "channels_dec": 8,
+                     "n_residual_enc": 1, "n_residual_dec": 1,
+                     "strides": [4, 2], "vq_kwargs": {"dim": 16,
+                                                      "kmeans_init": False}},
+        "avocodo": {"channels_enc": 8, "channels_dec": 8, "n_fft_base": 16,
+                    "n_residual_enc": 1, "n_residual_dec": 1,
+                    "strides": [4, 2, 4, 2],
+                    "vq_kwargs": {"dim": 16, "kmeans_init": False}},
+        "audiodec": {},   # shipped defaults (tiny channels break the
+                          # per-stage halving math)
+    }
+    for name, kw in cases.items():
+        model = build_codec_model(name, kw)
+        assert hasattr(model, "encode_stream"), name
+        params, vq_state = model.init(jax.random.PRNGKey(0))
+        assert "embed" in vq_state, name
+        cache_enc, cache_dec = model.init_cache(1)
+        assert len(cache_enc) and len(cache_dec), name
+        folded = model.fold_params(params)
+        assert folded is not None, name
