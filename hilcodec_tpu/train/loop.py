@@ -166,7 +166,8 @@ def build_trainer(hps, axis_name: Optional[str] = None):
         lookahead=hp.get("lookahead", 0),
         disc_update_ratio=tuple(hp.get("disc_update_ratio", (1, 1))),
         axis_name=axis_name, clipper=clipper,
-        compute_dtype=_compute_dtype_from_config(hp))
+        compute_dtype=_compute_dtype_from_config(hp),
+        fam_mode=hp.get("fam_mode", "separate"))
 
 
 class TrainLoop:

@@ -79,6 +79,23 @@ class Trainer:
     # stay f32. Grads come out f32 through the cast's vjp; the balancer's
     # non-finite skip-update guard replaces the GradScaler.
     compute_dtype: Any = jnp.float32
+    # Discriminator gradient plumbing (mathematically equivalent paths —
+    # same losses/grads to fp tolerance; the step is HBM-bound on v5e so
+    # the win is fewer reads of disc weights + saved activations):
+    #   "separate": reference-shaped — per family one vjp on wav_g whose
+    #     pullback runs twice (adv, FM), plus an independent
+    #     value_and_grad for the D loss that re-runs both disc forwards.
+    #   "vmap": same vjps, but the two per-family pullbacks run as ONE
+    #     batched backward (vmap over stacked cotangents) — saved
+    #     residuals and weights are read once, not twice.
+    #   "joint": per family ONE vjp over (wav_g, params_d) shared by the
+    #     adv/FM/D-fake cotangents (vmapped), and ONE real-side vjp
+    #     shared by the FM targets and the D-real backward — eliminating
+    #     the separate D forward/backward entirely. Requires
+    #     disc_update_ratio == (1, 1) (with r1 > 1 the D backward must be
+    #     skippable under lax.cond, so we fall back to "vmap" plumbing
+    #     for the G side and the separate d_fn under the cond).
+    fam_mode: str = "separate"
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -106,6 +123,78 @@ class Trainer:
     def _d_loss_fn(self, lg, lr):
         return (Lo.discriminator_loss_lsgan(lg, lr) if self.use_lsgan
                 else Lo.discriminator_loss(lg, lr))
+
+    # -- joint fake/real discriminator vjp (fam_mode == "joint") -------------
+    def _disc_joint(self, params_d, wav_g_sg, wav_r_in, cast, f32,
+                    losses, grads):
+        """Per family ONE real-side vjp (serves the FM targets AND the
+        D-real backward) and ONE fake-side vjp over (wav_g, params) whose
+        adv/FM/D-fake cotangents run as a single vmapped backward — so the
+        family's forward runs once per side and its saved activations and
+        weights are read once per side in the backward, vs 2 forwards +
+        3 independent backwards in "separate" mode. Mathematically
+        identical: the D loss decomposes per tensor
+        (losses.discriminator_loss) with a global 1/N normalizer that we
+        apply via the cotangent, and stop-gradients are realized by
+        discarding the unused vjp outputs. Fills `losses`/`grads` in the
+        same key order as the separate path; returns (d_loss, d_grads).
+        """
+        lsq = self.use_lsgan
+        fake_term = ((lambda l: jnp.mean(jnp.square(l))) if lsq
+                     else (lambda l: jnp.mean(jax.nn.relu(1.0 + l))))
+        real_term = ((lambda l: jnp.mean(jnp.square(1.0 - l))) if lsq
+                     else (lambda l: jnp.mean(jax.nn.relu(1.0 - l))))
+
+        # global tensor count N (static): discriminator_loss normalizes
+        # by the number of logit tensors across ALL families
+        n_total = 0
+        for name, d in self.disc.discs.items():
+            lr_s, _ = jax.eval_shape(
+                lambda pd, w, d=d: d.apply(cast(pd), cast(w)),
+                params_d[name], wav_r_in)
+            n_total += len(lr_s)
+        inv_n = jnp.full((), 1.0 / float(n_total), jnp.float32)
+
+        d_grads = {}
+        d_loss = jnp.zeros((), jnp.float32)
+        for name, d in self.disc.discs.items():
+            def real_fn(pd, d=d):
+                lr, fr = d.apply(cast(pd), cast(wav_r_in))
+                terms = sum(real_term(l) for l in f32(lr))
+                return terms, jax.lax.stop_gradient(f32(fr))
+
+            r_terms, pull_r, fr = jax.vjp(real_fn, params_d[name],
+                                          has_aux=True)
+            dpd_real = pull_r(inv_n)[0]
+
+            def fake_fn(w, pd, d=d, name=name, fr=fr):
+                lg, fg = d.apply(cast(pd), cast(w))
+                lg32 = f32(lg)
+                g_l = self._g_loss_fn({name: lg32})[f"{name}_g"]
+                fm_l = self._fm_loss_fn({name: f32(fg)},
+                                        {name: fr})[f"{name}_fm"]
+                f_terms = sum(fake_term(l) for l in lg32)
+                return (g_l, fm_l, f_terms)
+
+            (g_l, fm_l, f_terms), pull_f = jax.vjp(
+                fake_fn, wav_g_sg, params_d[name])
+            losses[f"{name}_g"] = g_l
+            losses[f"{name}_fm"] = fm_l
+            d_loss = d_loss + (f_terms + r_terms) * inv_n
+
+            one, zero = jnp.ones(()), jnp.zeros(())
+            cots = (jnp.stack([one, zero, zero]),
+                    jnp.stack([zero, one, zero]),
+                    jnp.stack([zero, zero, inv_n]))
+            dw, dpd = jax.vmap(pull_f)(cots)
+            grads[f"{name}_g"] = dw[0]
+            grads[f"{name}_fm"] = dw[1]
+            # dw[2] (D loss wrt wav_g: stop-gradient) and dpd[0:2] (G
+            # losses wrt live disc params) are the discarded outputs that
+            # realize the separate path's stop_gradients
+            d_grads[name] = jax.tree.map(lambda a, b: a[2] + b,
+                                         dpd, dpd_real)
+        return d_loss, d_grads
 
     # -- gradient computation (shared by train_step and the histogram dump) --
     def compute_grads(self, state: TrainState, wav_r: jnp.ndarray,
@@ -143,9 +232,6 @@ class Trainer:
         # ---- per-loss cotangents w.r.t. wav_g ------------------------------
         f32 = lambda t: jax.tree.map(
             lambda x: x.astype(jnp.float32), t)
-        params_d_sg = cast(jax.lax.stop_gradient(state.params_d))
-        _, fmaps_r = self.disc.apply(params_d_sg, cast(wav_r_in))
-        fmaps_r = jax.lax.stop_gradient(f32(fmaps_r))
 
         losses: Dict[str, jnp.ndarray] = {}
         grads: Dict[str, jnp.ndarray] = {}
@@ -155,21 +241,67 @@ class Trainer:
         losses["freq"] = mel_val
         grads["freq"] = mel_pull(jnp.ones_like(mel_val))[0]
 
-        for name, d in self.disc.discs.items():
-            def fam(w, d=d, name=name):
-                lg, fg = d.apply(params_d_sg[name], cast(w))
-                g_l = self._g_loss_fn({name: f32(lg)})[f"{name}_g"]
-                fm_l = self._fm_loss_fn({name: f32(fg)},
-                                        {name: fmaps_r[name]})[f"{name}_fm"]
-                return (g_l, fm_l)
+        r0, r1 = self.disc_update_ratio
+        # wrapper.py:265: update D when (idx % r1) < r0
+        do_d = jnp.asarray(((state.iteration + 1) % r1) < r0 if r1 > 1
+                           else True)
+        mode = self.fam_mode
+        if mode == "joint" and r1 > 1:
+            mode = "vmap"  # joint entangles the D backward with the G
+            # pullbacks, so it can't skip D work under lax.cond
 
-            (g_l, fm_l), pull = jax.vjp(fam, wav_g_sg)
-            losses[f"{name}_g"] = g_l
-            losses[f"{name}_fm"] = fm_l
-            one = jnp.ones_like(g_l)
-            zero = jnp.zeros_like(g_l)
-            grads[f"{name}_g"] = pull((one, zero))[0]
-            grads[f"{name}_fm"] = pull((zero, one))[0]
+        if mode == "joint":
+            d_loss, d_grads = self._disc_joint(
+                state.params_d, wav_g_sg, wav_r_in, cast, f32,
+                losses, grads)
+        else:
+            params_d_sg = cast(jax.lax.stop_gradient(state.params_d))
+            _, fmaps_r = self.disc.apply(params_d_sg, cast(wav_r_in))
+            fmaps_r = jax.lax.stop_gradient(f32(fmaps_r))
+
+            for name, d in self.disc.discs.items():
+                def fam(w, d=d, name=name):
+                    lg, fg = d.apply(params_d_sg[name], cast(w))
+                    g_l = self._g_loss_fn({name: f32(lg)})[f"{name}_g"]
+                    fm_l = self._fm_loss_fn(
+                        {name: f32(fg)},
+                        {name: fmaps_r[name]})[f"{name}_fm"]
+                    return (g_l, fm_l)
+
+                (g_l, fm_l), pull = jax.vjp(fam, wav_g_sg)
+                losses[f"{name}_g"] = g_l
+                losses[f"{name}_fm"] = fm_l
+                one = jnp.ones_like(g_l)
+                zero = jnp.zeros_like(g_l)
+                if mode == "vmap":
+                    # one batched backward for both cotangents: saved
+                    # residuals + weights read once instead of twice
+                    dw = jax.vmap(lambda c: pull(c)[0])(
+                        (jnp.stack([one, zero]), jnp.stack([zero, one])))
+                    grads[f"{name}_g"] = dw[0]
+                    grads[f"{name}_fm"] = dw[1]
+                else:
+                    grads[f"{name}_g"] = pull((one, zero))[0]
+                    grads[f"{name}_fm"] = pull((zero, one))[0]
+
+            def d_fn(params_d):
+                p_c = cast(params_d)
+                lg, _ = self.disc.apply(p_c, cast(wav_g_sg))
+                lr_logits, _ = self.disc.apply(p_c, cast(wav_r_in))
+                return self._d_loss_fn(f32(lg), f32(lr_logits))
+
+            if r1 > 1:
+                # skip the full D backward on masked steps
+                # (wrapper.py:265-277 skips the computation, not just the
+                # update); the pmean stays outside the cond so collectives
+                # run unconditionally.
+                zeros = jax.tree.map(jnp.zeros_like, state.params_d)
+                d_loss, d_grads = jax.lax.cond(
+                    do_d,
+                    lambda: jax.value_and_grad(d_fn)(state.params_d),
+                    lambda: (jnp.zeros((), jnp.float32), zeros))
+            else:
+                d_loss, d_grads = jax.value_and_grad(d_fn)(state.params_d)
 
         # ---- balancer ------------------------------------------------------
         out_grad, new_bal, finite, ema_logs = self.balancer.combine(
@@ -185,28 +317,6 @@ class Trainer:
         if axis is not None:
             g_grads = jax.lax.pmean(g_grads, axis)
 
-        # ---- discriminator grads --------------------------------------------
-        r0, r1 = self.disc_update_ratio
-        # wrapper.py:265: update D when (idx % r1) < r0
-        do_d = jnp.asarray(((state.iteration + 1) % r1) < r0 if r1 > 1
-                           else True)
-
-        def d_fn(params_d):
-            p_c = cast(params_d)
-            lg, _ = self.disc.apply(p_c, cast(wav_g_sg))
-            lr_logits, _ = self.disc.apply(p_c, cast(wav_r_in))
-            return self._d_loss_fn(f32(lg), f32(lr_logits))
-
-        if r1 > 1:
-            # skip the full D backward on masked steps (wrapper.py:265-277
-            # skips the computation, not just the update); the pmean stays
-            # outside the cond so collectives run unconditionally.
-            zeros = jax.tree.map(jnp.zeros_like, state.params_d)
-            d_loss, d_grads = jax.lax.cond(
-                do_d, lambda: jax.value_and_grad(d_fn)(state.params_d),
-                lambda: (jnp.zeros((), jnp.float32), zeros))
-        else:
-            d_loss, d_grads = jax.value_and_grad(d_fn)(state.params_d)
         if axis is not None:
             d_grads = jax.lax.pmean(d_grads, axis)
 

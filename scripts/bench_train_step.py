@@ -64,18 +64,28 @@ def _time_fn(fn, argsets, reps=10):
 
 def main():
     args = [a for a in sys.argv[1:]
-            if a != "--breakdown" and not a.startswith(("--dw", "--fbd"))]
+            if a != "--breakdown"
+            and not a.startswith(("--dw", "--fbd", "--fam"))]
     breakdown = "--breakdown" in sys.argv
     dw = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--dw=")),
               "conv")
     fbd = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--fbd=")), "conv2d")
+    fam = next((a.split("=", 1)[1] for a in sys.argv
+                if a.startswith("--fam=")), "separate")
     which = args[0] if args else "f32"
     batch = int(args[1]) if len(args) > 1 else 24
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    try:  # share the compile cache with bench.py: A/B series recompile the
+        jax.config.update("jax_compilation_cache_dir",  # same big programs
+                          "/tmp/hilcodec_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from hilcodec_tpu.ops import conv as conv_ops
     from hilcodec_tpu.train.loop import build_trainer
@@ -90,6 +100,8 @@ def main():
     disc_mod.set_fbd_lowering(fbd)
     if which == "bf16":
         trainer = dataclasses.replace(trainer, compute_dtype=jnp.bfloat16)
+    if fam != "separate":
+        trainer = dataclasses.replace(trainer, fam_mode=fam)
     state = trainer.init_state(jax.random.PRNGKey(0))
     seg = hps.data.get("segment_size", 24000)
     wav = jnp.asarray(
@@ -114,7 +126,7 @@ def main():
     peak = next((v for k, v in PEAKS_TFLOPS.items() if k in kind), None)
     bw = next((v for k, v in HBM_GBPS.items() if k in kind), None)
     out = {
-        "dtype": which, "batch": batch, "dw": dw, "fbd": fbd,
+        "dtype": which, "batch": batch, "dw": dw, "fbd": fbd, "fam": fam,
         "ms_per_step": round(dt * 1e3, 1),
         "audio_s_per_s": round(batch * seg / 24000 / dt, 1),
         "finite": float(m["finite"]),

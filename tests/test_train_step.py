@@ -369,3 +369,56 @@ def test_depthwise_lowering_config_plumb():
         assert C._DEPTHWISE_LOWERING == "conv"
     finally:
         C.set_depthwise_lowering("conv")
+
+
+@pytest.mark.parametrize("mode", ["vmap", "joint"])
+def test_fam_mode_equivalence(trainer, rng, mode):
+    """fam_mode 'vmap'/'joint' are pure gradient-plumbing restructurings
+    of 'separate' (train/step.py) — same losses, same G/D grads, same
+    d_loss, to fp tolerance. This pins the HBM-optimized paths to the
+    reference-shaped semantics that test_train_parity certifies."""
+    import dataclasses
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = jnp.asarray(
+        (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    ref = jax.jit(trainer.compute_grads)(state, wav, key)
+    alt_tr = dataclasses.replace(trainer, fam_mode=mode)
+    alt = jax.jit(alt_tr.compute_grads)(state, wav, key)
+
+    for k in ref["losses"]:
+        np.testing.assert_allclose(float(alt["losses"][k]),
+                                   float(ref["losses"][k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(float(alt["d_loss"]), float(ref["d_loss"]),
+                               rtol=1e-5, atol=1e-6)
+
+    def cmp(a, b, what):
+        fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(fa) == len(fb), what
+        for x, y in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-4, atol=2e-6, err_msg=what)
+
+    cmp(alt["g_grads"], ref["g_grads"], f"g_grads[{mode}]")
+    cmp(alt["d_grads"], ref["d_grads"], f"d_grads[{mode}]")
+    assert bool(alt["do_d"]) == bool(ref["do_d"])
+
+
+def test_fam_mode_joint_falls_back_with_update_ratio(trainer, rng):
+    """joint can't skip the D backward under lax.cond, so r1 > 1 routes
+    through the vmap plumbing — and still masks D grads on skip steps."""
+    import dataclasses
+    tr = dataclasses.replace(trainer, fam_mode="joint",
+                             disc_update_ratio=(1, 2))
+    state = tr.init_state(jax.random.PRNGKey(0))
+    hop = tr.model.hop_length
+    wav = jnp.asarray(
+        (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32))
+    # iteration 0: (0+1) % 2 = 1 >= 1 -> skip step, D grads must be zero
+    aux = jax.jit(tr.compute_grads)(state, wav, jax.random.PRNGKey(1))
+    assert not bool(aux["do_d"])
+    for leaf in jax.tree.leaves(aux["d_grads"]):
+        assert float(np.abs(np.asarray(leaf)).max()) == 0.0

@@ -17,6 +17,14 @@ def main():
         import jax
         jax.distributed.initialize()
 
+    import jax
+    try:  # persistent compile cache: the GAN step is a multi-minute compile
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/hilcodec_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from hilcodec_tpu.train.loop import TrainLoop
     loop = TrainLoop(hps, run_dir=hps.model_dir)
     loop.init_or_resume()
