@@ -100,7 +100,9 @@ def analyze_jaxpr(jaxpr, rows, scale=1):
                          f"lhs{tuple(lhs.shape)} -> {tuple(out.shape)}"))
         else:
             flops = sum(map(_size, out_avals))
-            rows.append((prim, flops * scale, byts * scale, ""))
+            desc = " ".join(f"{tuple(a.shape)}:{a.dtype.name}"
+                            for a in (in_avals[:3] + out_avals[:1]))
+            rows.append((prim, flops * scale, byts * scale, desc))
 
 
 def main():
