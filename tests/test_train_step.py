@@ -371,6 +371,36 @@ def test_depthwise_lowering_config_plumb():
         C.set_depthwise_lowering("conv")
 
 
+def test_fbd_lowering_and_fam_mode_config_plumb():
+    """The shipped hilcodec configs adopt the A/B winner
+    `train.fbd_lowering: bands1d` (BASELINE.md round-3) and it reaches the
+    discriminator module through build_trainer; `train.fam_mode` reaches
+    the Trainer. Reference-format configs without the knobs get the
+    measured defaults (conv2d / separate)."""
+    from hilcodec_tpu.models import discriminators as D
+    from hilcodec_tpu.train.loop import build_trainer
+    from hilcodec_tpu.utils.hparams import load_config
+
+    hps = load_config("configs/hilcodec_speech_synth.yaml")
+    assert hps.train.fbd_lowering == "bands1d"
+    hps.model_kwargs.channels_enc = 8
+    hps.model_kwargs.channels_dec = 8
+    hps.model_kwargs.n_residual_enc = 1
+    hps.model_kwargs.n_residual_dec = 1
+    try:
+        tr = build_trainer(hps)
+        assert D._FBD_LOWERING == "bands1d"
+        assert tr.fam_mode == "separate"
+        hps.train.fam_mode = "vmap"
+        tr = build_trainer(hps)
+        assert tr.fam_mode == "vmap"
+        del hps.train.fbd_lowering
+        build_trainer(hps)
+        assert D._FBD_LOWERING == "conv2d"
+    finally:
+        D.set_fbd_lowering("conv2d")
+
+
 @pytest.mark.parametrize("mode", ["vmap", "joint"])
 def test_fam_mode_equivalence(trainer, rng, mode):
     """fam_mode 'vmap'/'joint' are pure gradient-plumbing restructurings
