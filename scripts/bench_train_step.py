@@ -1,6 +1,7 @@
 """Time the full GAN train step on-chip, f32 vs bf16, with MFU/roofline.
 
 Usage: python scripts/bench_train_step.py [bf16|f32] [batch] [--breakdown]
+         [--config=configs/<family>.yaml] [--dw=] [--fbd=] [--fam=]
 
 Prints one JSON line {dtype, batch, ms_per_step, audio_s_per_s,
 achieved_tflops, mfu_vs_peak, hbm_gb_per_s, roofline_bound, ...}.
@@ -65,7 +66,7 @@ def _time_fn(fn, argsets, reps=10):
 def main():
     args = [a for a in sys.argv[1:]
             if a != "--breakdown"
-            and not a.startswith(("--dw", "--fbd", "--fam"))]
+            and not a.startswith(("--dw", "--fbd", "--fam", "--config"))]
     breakdown = "--breakdown" in sys.argv
     dw = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--dw=")),
               "conv")
@@ -73,6 +74,9 @@ def main():
                 if a.startswith("--fbd=")), "conv2d")
     fam = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--fam=")), "separate")
+    config = next((a.split("=", 1)[1] for a in sys.argv
+                   if a.startswith("--config=")),
+                  "configs/hilcodec_speech_synth.yaml")
     which = args[0] if args else "f32"
     batch = int(args[1]) if len(args) > 1 else 24
 
@@ -93,14 +97,16 @@ def main():
 
     from hilcodec_tpu.models import discriminators as disc_mod
 
-    hps = load_config("configs/hilcodec_speech_synth.yaml")
+    hps = load_config(config)
     trainer = build_trainer(hps)
     # after build_trainer (which resets both flags from the config)
     conv_ops.set_depthwise_lowering(dw)
     disc_mod.set_fbd_lowering(fbd)
-    if which == "bf16":
+    # avocodo's trainer has no compute_dtype/fam_mode fields (fp32 discs
+    # per the paper; simple-balancer plumbing) — only override when present
+    if which == "bf16" and hasattr(trainer, "compute_dtype"):
         trainer = dataclasses.replace(trainer, compute_dtype=jnp.bfloat16)
-    if fam != "separate":
+    if fam != "separate" and hasattr(trainer, "fam_mode"):
         trainer = dataclasses.replace(trainer, fam_mode=fam)
     state = trainer.init_state(jax.random.PRNGKey(0))
     seg = hps.data.get("segment_size", 24000)
@@ -126,6 +132,7 @@ def main():
     peak = next((v for k, v in PEAKS_TFLOPS.items() if k in kind), None)
     bw = next((v for k, v in HBM_GBPS.items() if k in kind), None)
     out = {
+        "config": config,
         "dtype": which, "batch": batch, "dw": dw, "fbd": fbd, "fam": fam,
         "ms_per_step": round(dt * 1e3, 1),
         "audio_s_per_s": round(batch * seg / 24000 / dt, 1),
