@@ -50,6 +50,19 @@ def wav_info(path: str):
     return _py_wav_info(path)
 
 
+def _rngs(rng: Optional[np.random.Generator]
+          ) -> Tuple[np.random.Generator, random.Random]:
+    """(numpy Generator, stdlib Random) pair for one __getitem__ call.
+
+    The loader passes a per-item Generator derived from (seed, epoch,
+    shard, batch, position) so sampling is reproducible run-to-run and
+    thread-safe (no global RNG state is ever touched from pool workers).
+    Direct calls without a Generator fall back to fresh OS entropy."""
+    if rng is None:
+        rng = np.random.default_rng()
+    return rng, random.Random(int(rng.integers(1 << 62)))
+
+
 class RandomGain:
     """Uniform gain in dB (directories.py:13-21)."""
 
@@ -187,12 +200,13 @@ class DirectoriesDataset:
                 last_error = e
         raise RuntimeError(f"10 failed loads: {last_error}")
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
-        rng = random.Random(random.getrandbits(62))
-        np_rng = np.random.default_rng(rng.getrandbits(62))
+    def __getitem__(self, idx: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Dict[str, Any]:
+        np_rng, py_rng = _rngs(rng)
         name = np_rng.choice(self.class_names, p=self.probabilities)
         dirs = self.loaders[str(name)]
-        wav, path = self.load_wav(dirs, rng)
+        wav, path = self.load_wav(dirs, py_rng)
         for t in self.transforms:
             wav = t(wav, np_rng)
 
@@ -200,7 +214,7 @@ class DirectoriesDataset:
             mix_name = str(np_rng.choice(dirs.names_to_mix,
                                          p=dirs.mix_probabilities))
             if mix_name:
-                wav2, path2 = self.load_wav(self.loaders[mix_name], rng)
+                wav2, path2 = self.load_wav(self.loaders[mix_name], py_rng)
                 for t in self.transforms:
                     wav2 = t(wav2, np_rng)
                 wav = wav + wav2
@@ -298,7 +312,10 @@ class FilelistDataset:
     def __len__(self) -> int:
         return len(self.wav_idx)
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def __getitem__(self, idx: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Dict[str, Any]:
+        np_rng, py_rng = _rngs(rng)
         data: Dict[str, Any] = {}
         name = str(self.wav_idx[idx])
         if "filename" in self.keys:
@@ -313,7 +330,7 @@ class FilelistDataset:
             high = min(self.random_gain_high,
                        0.99 / (np.abs(wav).max() + 1e-12))
             low = min(self.random_gain_low, high)
-            wav = np.random.uniform(low, high) * wav
+            wav = np_rng.uniform(low, high) * wav
 
         if self.segment_size is None:
             hop = getattr(self.hp, "hop_size", 1)
@@ -322,7 +339,7 @@ class FilelistDataset:
                 wav = wav[:-discard]
         else:
             if len(wav) >= self.segment_size:
-                start = random.randint(0, len(wav) - self.segment_size)
+                start = py_rng.randint(0, len(wav) - self.segment_size)
                 wav = wav[start:start + self.segment_size]
             else:
                 wav = np.pad(wav, (0, self.segment_size - len(wav)))
@@ -338,7 +355,10 @@ class PreprocessedDataset(FilelistDataset):
     """`DatasetPreprocessed` (audio.py:262-387): reads pre-dumped .npy
     features (wav/spec/mel/pitch) from `data_dir` instead of decoding."""
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def __getitem__(self, idx: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Dict[str, Any]:
+        _np_rng, py_rng = _rngs(rng)
         data: Dict[str, Any] = {}
         name = str(self.wav_idx[idx])
         base = os.path.join(getattr(self.hp, "data_dir", ""), name)
@@ -347,7 +367,7 @@ class PreprocessedDataset(FilelistDataset):
         wav = np.load(f"{base}_wav.npy")
         if self.segment_size is not None:
             if len(wav) >= self.segment_size:
-                start = random.randint(0, len(wav) - self.segment_size)
+                start = py_rng.randint(0, len(wav) - self.segment_size)
                 wav = wav[start:start + self.segment_size]
             else:
                 wav = np.pad(wav, (0, self.segment_size - len(wav)))
@@ -381,7 +401,8 @@ class PairedCleanNoisyDataset:
     def __len__(self) -> int:
         return len(self.files)
 
-    def _read_pair(self, name: str) -> Tuple[np.ndarray, np.ndarray]:
+    def _read_pair(self, name: str,
+                   py_rng: random.Random) -> Tuple[np.ndarray, np.ndarray]:
         cpath = os.path.join(self.clean_dir, name)
         npath = os.path.join(self.noisy_dir, name)
         n_frames, sr, _ = wav_info(cpath)
@@ -395,14 +416,17 @@ class PairedCleanNoisyDataset:
                 clean = np.pad(clean, (pad // 2, pad - pad // 2))
                 noisy = np.pad(noisy, (pad // 2, pad - pad // 2))
             return clean, noisy
-        start = random.randint(0, n_frames - seg)
+        start = py_rng.randint(0, n_frames - seg)
         clean, _ = read_wav(cpath, start=start, frames=seg)
         noisy, _ = read_wav(npath, start=start, frames=seg)
         return clean, noisy
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def __getitem__(self, idx: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Dict[str, Any]:
+        _np_rng, py_rng = _rngs(rng)
         name = self.files[idx]
-        clean, noisy = self._read_pair(name)
+        clean, noisy = self._read_pair(name, py_rng)
         data: Dict[str, Any] = {"clean": clean.astype(np.float32),
                                 "noisy": noisy.astype(np.float32)}
         if "filename" in self.keys:

@@ -10,9 +10,7 @@ the whole loader stays in one address space (no worker process plumbing).
 
 from __future__ import annotations
 
-import queue
-import random
-import threading
+import inspect
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
@@ -70,15 +68,30 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
         self.epoch += 1
-        epoch_seed = (self.seed * 1_000_003 + self.epoch) & 0x7FFFFFFF
+        epoch = self.epoch
+        # Thread-safe determinism (seed_worker analogue,
+        # utils/data/__init__.py:15-18, without its global-RNG races): each
+        # item gets its own Generator keyed by (seed, epoch, shard, batch,
+        # position). Two fresh runs with the same seed draw byte-identical
+        # batches at any num_workers; global random/np.random are untouched.
+        try:
+            rng_aware = "rng" in inspect.signature(
+                self.dataset.__getitem__).parameters
+        except (TypeError, ValueError):
+            rng_aware = False
 
         def load_batch(args):
             bi, batch_idx = args
-            # deterministic per-(epoch, batch) seeding (seed_worker analogue,
-            # utils/data/__init__.py:15-18)
-            random.seed(epoch_seed * 131071 + bi)
-            np.random.seed((epoch_seed * 7919 + bi) & 0x7FFFFFFF)
-            return self.collate_fn([self.dataset[i] for i in batch_idx])
+            items = []
+            for j, i in enumerate(batch_idx):
+                if rng_aware:
+                    ss = np.random.SeedSequence(
+                        [self.seed, epoch, self.shard, bi, j])
+                    items.append(self.dataset.__getitem__(
+                        i, rng=np.random.default_rng(ss)))
+                else:
+                    items.append(self.dataset[i])
+            return self.collate_fn(items)
 
         if self.num_workers <= 1:
             for bi, b in enumerate(batches):

@@ -318,12 +318,14 @@ class TrainLoop:
         wav = batch["wav"]
         if wav.ndim == 2:
             wav = wav[:, None, :]
-        # pad the batch to a multiple of n_dev for even sharding
+        # pad the batch to a multiple of n_dev for even sharding by
+        # REPEATING real rows (DistributedSampler padding semantics,
+        # utils/data/__init__.py:75-77) — zero rows would contaminate the
+        # VQ EMA statistics, discriminator losses, and balancer norms
         b = wav.shape[0]
         rem = (-b) % self.n_dev
         if rem:
-            wav = np.concatenate([wav, np.zeros((rem,) + wav.shape[1:],
-                                                wav.dtype)])
+            wav = np.concatenate([wav, wav[np.resize(np.arange(b), rem)]])
         return wav
 
     def train_epoch(self, hists: Optional[Dict[str, np.ndarray]] = None

@@ -162,6 +162,50 @@ def test_factory_devices_per_shard(wav_tree):
     assert bound == 8                      # 2 x 2 devices x 2 shards
 
 
+def test_loader_determinism_multiworker(wav_tree):
+    """Two fresh runs with the same seed must yield byte-identical epoch
+    batches even with a multi-thread pool (VERDICT r3 weak #3: per-item
+    Generators keyed by (seed, epoch, shard, batch, position) replace the
+    racy global-RNG reseeding)."""
+    def epoch(num_workers):
+        ds = DirectoriesDataset(_dirs_hp(wav_tree), ["wav", "filename"])
+        loader = DataLoader(ds, batch_size=4, num_workers=num_workers,
+                            seed=11)
+        return list(loader)
+
+    a, b, c = epoch(4), epoch(4), epoch(1)
+    assert len(a) == len(b) == len(c) == 4
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(x["wav"], y["wav"])
+        assert x["filename"] == y["filename"]
+        # worker count must not change the stream either
+        np.testing.assert_array_equal(x["wav"], z["wav"])
+    # successive epochs differ (epoch enters the per-item key)
+    ds = DirectoriesDataset(_dirs_hp(wav_tree), ["wav"])
+    loader = DataLoader(ds, batch_size=4, num_workers=2, seed=11)
+    e1, e2 = list(loader), list(loader)
+    assert any(not np.array_equal(x["wav"], y["wav"])
+               for x, y in zip(e1, e2))
+
+
+def test_ragged_batch_pads_with_real_rows():
+    """VERDICT r3 weak #4: the final ragged batch must be padded by
+    repeating real rows (DistributedSampler semantics), never zeros, so
+    pad rows don't poison VQ EMA stats / disc losses / balancer norms."""
+    from types import SimpleNamespace
+    from hilcodec_tpu.train.loop import TrainLoop
+    wav = np.arange(3 * 10, dtype=np.float32).reshape(3, 10) + 1.0
+    out = TrainLoop._batch_wav(SimpleNamespace(n_dev=4), {"wav": wav})
+    assert out.shape == (4, 1, 10)
+    np.testing.assert_array_equal(out[3, 0], wav[0])  # cycled real row
+    assert np.abs(out).min() > 0                      # no zero rows
+    # rem > b: cycle the whole batch
+    out = TrainLoop._batch_wav(SimpleNamespace(n_dev=8), {"wav": wav})
+    assert out.shape == (8, 1, 10)
+    np.testing.assert_array_equal(out[3:6, 0], wav)
+    np.testing.assert_array_equal(out[6:, 0], wav[:2])
+
+
 def test_paired_clean_noisy(tmp_path, rng):
     from hilcodec_tpu.data.datasets import PairedCleanNoisyDataset
     for sub in ("clean", "noisy"):
