@@ -22,6 +22,7 @@ def parse_args(argv):
     input."""
     seconds, mesh = 4.0, "--mesh" in argv
     dispatch = "--dispatch" in argv
+    fused = "--fused" in argv
     mega = None                        # auto (stream-count-aware on TPU)
     if "--megakernel" in argv:
         mega = True
@@ -29,9 +30,19 @@ def parse_args(argv):
         mega = False
     argv = [a for a in argv
             if a not in ("--mesh", "--megakernel", "--no-megakernel",
-                         "--dispatch")]
+                         "--dispatch", "--fused")]
     unroll, chunks = 1, None   # chunks None = auto (groups of 128)
     model_name = "hilcodec"
+    dtype_mode = "f32"
+    if "--dtype" in argv:
+        i = argv.index("--dtype")
+        if i + 1 >= len(argv):
+            sys.exit("error: --dtype requires a value")
+        dtype_mode = argv[i + 1]
+        if dtype_mode not in ("f32", "bf16w", "bf16"):
+            sys.exit(f"error: unknown --dtype {dtype_mode!r} "
+                     "(f32 | bf16w | bf16)")
+        argv = argv[:i] + argv[i + 2:]
     for flag in ("--unroll", "--chunks", "--model"):
         if flag in argv:
             i = argv.index(flag)
@@ -70,7 +81,7 @@ def parse_args(argv):
     except ValueError:
         sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
     return (streams, seconds, mesh, mega, unroll, chunks, model_name,
-            dispatch)
+            dispatch, dtype_mode, fused)
 
 
 def run_dispatch_bench(model, params, vq_state, streams):
@@ -171,7 +182,7 @@ def build_bench_model(model_name):
 
 def main():
     (streams, seconds, use_mesh, mega, unroll, chunks, model_name,
-     dispatch) = parse_args(sys.argv[1:])
+     dispatch, dtype_mode, fused) = parse_args(sys.argv[1:])
     import jax
     import jax.numpy as jnp
     try:
@@ -192,6 +203,23 @@ def main():
     # deployment path: folded (weight-norm removed, scalings merged) params
     params = model.fold_params(params)
 
+    # --dtype precision modes (streaming roofline work, BASELINE round 4):
+    #   f32   - parity default
+    #   bf16w - bf16 conv kernels, f32 activations/caches: halves the
+    #           per-frame weight reads; MXU operand bits unchanged under
+    #           XLA's DEFAULT precision (bf16-rounded operands either way)
+    #   bf16  - bf16 everything (params, caches, activations); RVQ
+    #           distances still f32 (ops/rvq.py casts internally)
+    from hilcodec_tpu.models.codec import cast_streaming_params
+    act_dtype = jnp.float32
+    if dtype_mode == "bf16w":
+        params = cast_streaming_params(params, jnp.bfloat16,
+                                       kernels_only=True)
+    elif dtype_mode == "bf16":
+        params = cast_streaming_params(params, jnp.bfloat16,
+                                       kernels_only=False)
+        act_dtype = jnp.bfloat16
+
     if dispatch:
         run_dispatch_bench(model, params, vq_state, streams)
         return
@@ -203,8 +231,9 @@ def main():
     n_frames -= n_frames % frames_per_step
 
     wav = jax.random.normal(jax.random.PRNGKey(2),
-                            (streams, 1, n_frames * hop), jnp.float32) * 0.3
-    cache_enc, cache_dec = model.init_cache(streams)
+                            (streams, 1, n_frames * hop),
+                            jnp.float32).astype(act_dtype) * 0.3
+    cache_enc, cache_dec = model.init_cache(streams, act_dtype)
 
     n_dev = len(jax.devices())
     if use_mesh and n_dev > 1:
@@ -219,17 +248,24 @@ def main():
         wav, cache_enc = shard_streams(mesh, wav=wav, cache=cache_enc)
         cache_dec = shard_streams(mesh, cache=cache_dec)
 
-    @jax.jit
-    def enc_dec(wav, cache_enc, cache_dec):
-        tokens, cache_enc = model.encode_stream(
-            params, vq_state, wav, cache_enc,
-            frames_per_step=frames_per_step, megakernel=mega,
-            unroll=unroll, stream_chunks=chunks)
-        out, cache_dec = model.decode_stream(
-            params, vq_state, tokens, cache_dec,
-            frames_per_step=frames_per_step, megakernel=mega,
-            unroll=unroll, stream_chunks=chunks)
-        return tokens, out, cache_enc, cache_dec
+    if fused:
+        @jax.jit
+        def enc_dec(wav, cache_enc, cache_dec):
+            return model.encode_decode_stream(
+                params, vq_state, wav, cache_enc, cache_dec,
+                frames_per_step=frames_per_step, unroll=unroll)
+    else:
+        @jax.jit
+        def enc_dec(wav, cache_enc, cache_dec):
+            tokens, cache_enc = model.encode_stream(
+                params, vq_state, wav, cache_enc,
+                frames_per_step=frames_per_step, megakernel=mega,
+                unroll=unroll, stream_chunks=chunks)
+            out, cache_dec = model.decode_stream(
+                params, vq_state, tokens, cache_dec,
+                frames_per_step=frames_per_step, megakernel=mega,
+                unroll=unroll, stream_chunks=chunks)
+            return tokens, out, cache_enc, cache_dec
 
     # compile once; the AOT executable serves warmup, timing AND the MFU
     # cost analysis (no second trace through the jit cache)
@@ -250,6 +286,10 @@ def main():
     metric = "streaming_encdec_rtf_per_chip"
     if model_name != "hilcodec":
         metric += f"_{model_name}"
+    if dtype_mode != "f32":
+        metric += f"_{dtype_mode}"
+    if fused:
+        metric += "_fused"
     result = {
         "metric": metric,
         "value": round(rtf, 2),

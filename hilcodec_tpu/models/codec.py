@@ -83,6 +83,26 @@ def _encoder_megakernel(encoder, block_streams: int, interpret: bool):
                              interpret=interpret)
 
 
+def cast_streaming_params(params: Params, dtype=jnp.bfloat16,
+                          kernels_only: bool = True) -> Params:
+    """Deployment-time precision cast of a folded param tree.
+
+    kernels_only=True casts only rank>=3 leaves — the conv kernels, which
+    carry ~all the parameter bytes. On TPU, XLA's DEFAULT precision already
+    feeds bf16-rounded operands to the MXU for f32 convs, so storing the
+    kernels in bf16 changes no MXU input bits while halving the per-frame
+    weight reads from HBM; biases/scales stay f32 and keep accumulating in
+    f32. kernels_only=False casts every leaf (full-bf16 deployment).
+    RVQ codebooks live in vq_state, not here, and always stay f32 — token
+    identity is decided in the f32 distance GEMM (ops/rvq.py:43-48)
+    regardless of this cast."""
+    def leaf(x):
+        if getattr(x, "ndim", 0) >= 3 or not kernels_only:
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(leaf, params)
+
+
 @dataclasses.dataclass(frozen=True)
 class CodecModel:
     """HILCodec + ResidualVQ bundle built from a reference YAML config."""
@@ -335,6 +355,51 @@ class CodecModel:
         # wavs: [blocks, B, 1, f*hop] -> [B, 1, T]
         wav = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
         return wav, cache
+
+    def encode_decode_stream(self, params: Params, vq_state: Q.VQState,
+                             wav: jnp.ndarray, cache_enc: List[jnp.ndarray],
+                             cache_dec: List[jnp.ndarray],
+                             n: Optional[int] = None,
+                             frames_per_step: int = 1, unroll: int = 1
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                        List[jnp.ndarray],
+                                        List[jnp.ndarray]]:
+        """Fused streaming enc+dec: ONE lax.scan whose body runs
+        encoder-step -> RVQ -> dequant -> decoder-step for each frame.
+
+        vs encode_stream-then-decode_stream this halves the while-loop
+        iteration count (one loop over frames instead of two) and never
+        materializes the full token array between the two scans — a
+        throughput lever for the per-frame-step serving program where
+        fixed per-iteration costs are a visible fraction of the 13.33 ms
+        frame budget. Token/wav outputs are bitwise those of the two-scan
+        path (same per-frame math, same order).
+
+        wav [B, 1, T] -> (tokens [n, B, L], wav_out [B, 1, T], new caches).
+        """
+        hop = self.hop_length
+        B = wav.shape[0]
+        L = wav.shape[-1] // hop
+        blocks = L // frames_per_step
+        xs = wav.reshape(B, 1, blocks, frames_per_step * hop)
+        xs = jnp.moveaxis(xs, 2, 0)          # [blocks, B, 1, hop*f]
+        books = vq_state["embed"]
+        dec_dtype = cache_dec[0].dtype if cache_dec else jnp.float32
+
+        def body(carry, x):
+            ce, cd = carry
+            z, ce = self.codec.encoder.step(params["encoder"], ce, x)
+            idx = PQ.quantize(z.swapaxes(1, 2), books, n=n)
+            q = Q.dequantize(idx, books).astype(dec_dtype)
+            y, cd = self.codec.decoder.step(params["decoder"], cd,
+                                            q.swapaxes(1, 2))
+            return (ce, cd), (idx, y)
+
+        (cache_enc, cache_dec), (tokens, wavs) = jax.lax.scan(
+            body, (cache_enc, cache_dec), xs, unroll=unroll)
+        tokens = jnp.moveaxis(tokens, 0, 2).reshape(tokens.shape[1], B, L)
+        wav_out = jnp.moveaxis(wavs, 0, 2).reshape(B, 1, -1)
+        return tokens, wav_out, cache_enc, cache_dec
 
     def init_cache(self, batch: int, dtype=jnp.float32):
         return self.codec.init_cache(batch, dtype)

