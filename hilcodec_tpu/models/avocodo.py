@@ -269,6 +269,53 @@ class AvocodoModel:
                 "decoder": R.fold_tree(params["decoder"], self.norm)}
 
 
+@dataclasses.dataclass(frozen=True)
+class _FullRateDecoder:
+    """AvocodoDecoder restricted to its full-rate head: `apply` drops the
+    multi-scale output list so the generator satisfies the standard
+    CodecModel protocol (decoder.apply(params, x) -> wav)."""
+    dec: AvocodoDecoder
+
+    def init(self, key: jax.Array) -> Params:
+        return self.dec.init(key)
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        return self.dec.apply(params, x, return_list=False)
+
+    def init_cache(self, batch: int, dtype=jnp.float32) -> Cache:
+        return self.dec.init_cache(batch, dtype)
+
+    def step(self, params: Params, cache: Cache, x: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, Cache]:
+        return self.dec.step(params, cache, x)
+
+
+@dataclasses.dataclass(frozen=True)
+class AvocodoFullRate:
+    """Avocodo generator with the full-rate head only — the controlled
+    ablation (`train.trainer: hilcodec` in the config) that trains the
+    avocodo ARCHITECTURE under the hilcodec TRAINER (gradient balancer,
+    MFBD+MSTFTD, hinge, normalized FM). Distinguishes "the avocodo quality
+    gap is architectural" from "it is the avocodo training recipe"
+    (BASELINE round-4, VERDICT r3 weak #6)."""
+    base: AvocodoModel
+
+    def __post_init__(self):
+        object.__setattr__(self, "encoder", self.base.encoder)
+        object.__setattr__(self, "decoder",
+                           _FullRateDecoder(self.base.decoder))
+        object.__setattr__(self, "hop_length", self.base.hop_length)
+
+    def init(self, key: jax.Array) -> Params:
+        return self.base.init(key)
+
+    def init_cache(self, batch: int, dtype=jnp.float32):
+        return self.base.init_cache(batch, dtype)
+
+    def fold_params(self, params: Params) -> Params:
+        return self.base.fold_params(params)
+
+
 # ---------------------------------------------------------------------------
 # CoMBD (avocodo/CoMBD.py)
 # ---------------------------------------------------------------------------

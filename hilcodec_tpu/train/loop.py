@@ -140,17 +140,29 @@ def build_trainer(hps, axis_name: Optional[str] = None):
     _discs.set_fbd_lowering(
         hps.train.get("fbd_lowering", "conv2d") if has_train else "conv2d")
     name = hps.get("model", "hilcodec")
-    if name == "avocodo":
+    trainer_kind = hps.train.get("trainer", None) if has_train else None
+    if name == "avocodo" and trainer_kind != "hilcodec":
         return build_avocodo_trainer(hps, axis_name)
     if name == "audiodec":
         raise ValueError(
             "model: audiodec is deploy-only (the reference has no audiodec "
             "training wrapper; weights are imported — SURVEY.md §2.8)")
-    if name not in ("hilcodec", "encodec"):
+    if name not in ("hilcodec", "encodec", "avocodo"):
         raise ValueError(f"unknown model {name!r}")
 
     from ..models.registry import build_model
-    model = build_model(name, hps.model_kwargs.to_dict())
+    if name == "avocodo":
+        # `train.trainer: hilcodec` ablation: avocodo architecture
+        # (full-rate head) under the hilcodec balancer/disc trainer
+        from ..models.avocodo import AvocodoFullRate, AvocodoModel
+        from ..models.codec import CodecModel
+        from ..models.registry import _vq_from_kwargs
+        mk = hps.model_kwargs.to_dict()
+        model = CodecModel(
+            AvocodoFullRate(AvocodoModel.from_config(mk)),
+            _vq_from_kwargs(mk.get("vq_kwargs", {})))
+    else:
+        model = build_model(name, hps.model_kwargs.to_dict())
     disc = Discriminators(**{k: v.to_dict() if hasattr(v, "to_dict") else v
                              for k, v in hps.disc_kwargs.items()})
     hp = hps.train

@@ -62,6 +62,51 @@ def test_avocodo_train_step(rng):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_avocodo_under_hilcodec_trainer(rng):
+    """`train.trainer: hilcodec` routes the avocodo generator (full-rate
+    head) through the standard balancer GAN trainer — the controlled
+    ablation for the avocodo quality gap (VERDICT r3 weak #6). One tiny
+    train step must run, update params, and keep every loss finite."""
+    from hilcodec_tpu.train.loop import build_trainer
+    from hilcodec_tpu.train.step import Trainer
+    from hilcodec_tpu.utils.hparams import HParams
+
+    hps = HParams(
+        model="avocodo",
+        model_kwargs={
+            "channels_enc": 8, "channels_dec": 8, "n_fft_base": 16,
+            "n_residual_enc": 1, "n_residual_dec": 1,
+            "strides": [4, 2, 4, 2],
+            "res_scale_enc": 0.577, "res_scale_dec": 0.577,
+            "vq_kwargs": {"dim": 16, "codebook_size": 32,
+                          "num_quantizers": 2, "kmeans_init": False}},
+        disc_kwargs={"mstftd_kwargs": {
+            "use": True, "n_ffts": [64], "hop_lengths": [16],
+            "win_lengths": [64], "filters": 4}},
+        data={"sampling_rate": 24000},
+        train={"trainer": "hilcodec", "batch_size": 2,
+               "n_mels_max": 8,
+               "balancer_kwargs": {"weights": {"freq": 1.0,
+                                               "mstftd_g": 1.0,
+                                               "mstftd_fm": 1.0},
+                                   "weight_others": 0.01},
+               "optimizer": "AdamP",
+               "optimizer_kwargs": {"lr": 5e-4, "betas": [0.5, 0.9]}})
+    trainer = build_trainer(hps)
+    assert isinstance(trainer, Trainer)          # NOT AvocodoTrainer
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = (rng.standard_normal((2, 1, hop * 32)) * 0.3).astype(np.float32)
+    new_state, m = jax.jit(trainer.train_step)(state, jnp.asarray(wav),
+                                               jax.random.PRNGKey(1))
+    assert int(new_state.iteration) == 1
+    for k in ("loss/freq", "loss/mstftd_g", "loss/mstftd_fm", "loss/vq"):
+        assert np.isfinite(float(m[k])), k
+    a = jax.tree.leaves(state.params_g)[0]
+    b = jax.tree.leaves(new_state.params_g)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
 def test_avocodo_codec_forward_single_scale(rng):
     """The infer/pesq reconstruction path uses forward(), which must return
     the full-rate head only (ys[-1]) — not the multi-scale list the
