@@ -23,8 +23,10 @@ import numpy as np
 
 
 def collect_wavs(path):
-    """FILELIST (.txt of `relative/path.wav|` lines, filelists/*.txt
-    format) or directory -> sorted list of wav paths."""
+    """Single .wav, FILELIST (.txt of `relative/path.wav|` lines,
+    filelists/*.txt format) or directory -> sorted list of wav paths."""
+    if path.lower().endswith(".wav") and os.path.isfile(path):
+        return [path]
     if os.path.isdir(path):
         out = []
         for root, _dirs, files in os.walk(path):

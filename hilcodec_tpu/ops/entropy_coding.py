@@ -1,0 +1,170 @@
+"""Arithmetic (range) coding for RVQ token streams.
+
+The reference defines the LMModel entropy model
+(/root/reference/models/encodec/models.py:21-56) but ships NO coder — the
+tokens are always transmitted at the fixed log2(card) bits. This module
+closes that loop: a binary arithmetic coder (Witten-Neal-Cleary
+renormalization, 32-bit registers) plus deterministic probability
+quantization, so LM probabilities become an actual bitstream with measured
+bits-per-token and an exact decode roundtrip.
+
+Determinism contract: encoder and decoder must derive IDENTICAL cdfs per
+symbol. quantize_cdf is integer-exact given identical float probs, so both
+sides must compute probs with the same program on the same platform (the
+entropy_code CLI steps the LM identically in both directions).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+_BITS = 32
+_FULL = (1 << _BITS) - 1
+_HALF = 1 << (_BITS - 1)
+_QUARTER = 1 << (_BITS - 2)
+
+
+def quantize_cdf(probs: np.ndarray, precision: int = 16) -> np.ndarray:
+    """Float probabilities [card] -> integer cdf [card+1] with total
+    2**precision; every symbol gets frequency >= 1 (decodability), the
+    quantization remainder lands on the most probable symbol."""
+    card = len(probs)
+    total = 1 << precision
+    assert total > 2 * card, "precision too small for the alphabet"
+    p = np.asarray(probs, np.float64)
+    p = p / max(p.sum(), 1e-30)
+    freqs = np.maximum(1, np.floor(p * (total - card)).astype(np.int64))
+    freqs[int(np.argmax(freqs))] += total - int(freqs.sum())
+    cdf = np.zeros(card + 1, np.int64)
+    np.cumsum(freqs, out=cdf[1:])
+    return cdf
+
+
+class BitWriter:
+    def __init__(self):
+        self._bytes = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, bit: int) -> None:
+        self._acc = (self._acc << 1) | bit
+        self._n += 1
+        if self._n == 8:
+            self._bytes.append(self._acc)
+            self._acc = 0
+            self._n = 0
+
+    def getvalue(self) -> bytes:
+        if self._n:
+            return bytes(self._bytes) + bytes(
+                [self._acc << (8 - self._n)])
+        return bytes(self._bytes)
+
+    def __len__(self) -> int:
+        return len(self._bytes) * 8 + self._n
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    def read(self) -> int:
+        byte_i, bit_i = divmod(self._pos, 8)
+        self._pos += 1
+        if byte_i >= len(self._data):
+            return 0                      # zero-padding past the end
+        return (self._data[byte_i] >> (7 - bit_i)) & 1
+
+
+class ArithmeticEncoder:
+    """Classic arithmetic coder with E1/E2/E3 renormalization."""
+
+    def __init__(self):
+        self._low = 0
+        self._high = _FULL
+        self._pending = 0
+        self._out = BitWriter()
+
+    def _emit(self, bit: int) -> None:
+        self._out.write(bit)
+        inv = 1 - bit
+        while self._pending:
+            self._out.write(inv)
+            self._pending -= 1
+
+    def encode(self, cdf: np.ndarray, symbol: int) -> None:
+        total = int(cdf[-1])
+        span = self._high - self._low + 1
+        self._high = self._low + span * int(cdf[symbol + 1]) // total - 1
+        self._low = self._low + span * int(cdf[symbol]) // total
+        while True:
+            if self._high < _HALF:
+                self._emit(0)
+            elif self._low >= _HALF:
+                self._emit(1)
+                self._low -= _HALF
+                self._high -= _HALF
+            elif self._low >= _QUARTER and self._high < 3 * _QUARTER:
+                self._pending += 1
+                self._low -= _QUARTER
+                self._high -= _QUARTER
+            else:
+                break
+            self._low <<= 1
+            self._high = (self._high << 1) | 1
+
+    def finish(self) -> bytes:
+        # disambiguate the final interval with two bits
+        self._pending += 1
+        self._emit(0 if self._low < _QUARTER else 1)
+        return self._out.getvalue()
+
+
+class ArithmeticDecoder:
+    def __init__(self, data: bytes):
+        self._in = BitReader(data)
+        self._low = 0
+        self._high = _FULL
+        self._code = 0
+        for _ in range(_BITS):
+            self._code = (self._code << 1) | self._in.read()
+
+    def decode(self, cdf: np.ndarray) -> int:
+        total = int(cdf[-1])
+        span = self._high - self._low + 1
+        value = ((self._code - self._low + 1) * total - 1) // span
+        symbol = int(np.searchsorted(cdf, value, side="right")) - 1
+        self._high = self._low + span * int(cdf[symbol + 1]) // total - 1
+        self._low = self._low + span * int(cdf[symbol]) // total
+        while True:
+            if self._high < _HALF:
+                pass
+            elif self._low >= _HALF:
+                self._low -= _HALF
+                self._high -= _HALF
+                self._code -= _HALF
+            elif self._low >= _QUARTER and self._high < 3 * _QUARTER:
+                self._low -= _QUARTER
+                self._high -= _QUARTER
+                self._code -= _QUARTER
+            else:
+                break
+            self._low <<= 1
+            self._high = (self._high << 1) | 1
+            self._code = (self._code << 1) | self._in.read()
+        return symbol
+
+
+def encode_symbols(symbols: np.ndarray, cdfs: List[np.ndarray]) -> bytes:
+    enc = ArithmeticEncoder()
+    for s, cdf in zip(np.asarray(symbols).ravel(), cdfs):
+        enc.encode(cdf, int(s))
+    return enc.finish()
+
+
+def decode_symbols(data: bytes, cdfs: List[np.ndarray]) -> np.ndarray:
+    dec = ArithmeticDecoder(data)
+    return np.array([dec.decode(cdf) for cdf in cdfs], np.int64)

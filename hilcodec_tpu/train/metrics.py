@@ -132,11 +132,43 @@ def _pesq_backend(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
     return float(_pesq(16000, ref, deg, "wb"))
 
 
+def _visqol_python(ref: np.ndarray, deg: np.ndarray, sr: int,
+                   mode: str) -> float:
+    """In-process ViSQOL via the pip `visqol` python API — the reference's
+    pybind variant (utils/visqol_python.py). Gated on the package; raises
+    ImportError when absent so measure_visqol falls through to the
+    subprocess binding."""
+    from visqol import visqol_lib_py
+    from visqol.pb2 import visqol_config_pb2
+
+    config = visqol_config_pb2.VisqolConfig()
+    if mode == "speech":
+        config.audio.sample_rate = 16000
+        config.options.use_speech_scoring = True
+        model = "lattice_tcditugenmeetpackhref_ls2_nl60_lr12_bs2048_learn.005_ep2400_train1_7_raw.tflite"
+    else:
+        config.audio.sample_rate = 48000
+        config.options.use_speech_scoring = False
+        model = "libsvm_nu_svr_model.txt"
+    config.options.svr_model_path = os.path.join(
+        os.path.dirname(visqol_lib_py.__file__), "model", model)
+    api = visqol_lib_py.VisqolApi()
+    api.Create(config)
+    out = api.Measure(ref.astype(np.float64), deg.astype(np.float64))
+    return float(out.moslqo)
+
+
 def measure_visqol(ref: np.ndarray, deg: np.ndarray, sr: int,
                    mode: str = "speech",
                    binary: Optional[str] = None) -> float:
-    """Subprocess binding to the bazel ViSQOL binary
-    (utils/visqol_cli.py:30-36)."""
+    """MOS-LQO via the python API when the `visqol` package is importable
+    (reference utils/visqol_python.py), else the subprocess binding to the
+    bazel binary (utils/visqol_cli.py:30-36; selector
+    utils/measure_visqol.py:1-4)."""
+    try:
+        return _visqol_python(ref, deg, sr, mode)
+    except ImportError:
+        pass
     from ..utils.wavio import write_wav
     binary = binary or os.environ.get("VISQOL_BIN", "visqol")
     with tempfile.TemporaryDirectory() as d:
