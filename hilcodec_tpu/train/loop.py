@@ -36,14 +36,17 @@ from .step import Trainer, TrainState, make_parallel_train_step
 def _mel_loss_from_config(hps):
     hp = hps.train
     sr = hps.data.sampling_rate
+    # every shipped config sets data.clip_val; default to the reference
+    # loss-class default (losses.py:21) for cut-down configs
+    clip_val = hps.data.get("clip_val", 1.0e-5)
     if hp.get("hifigan_mel_loss", False):
-        return HifiGANMelLoss(sr, hps.data.clip_val, hps.data.n_fft,
+        return HifiGANMelLoss(sr, clip_val, hps.data.n_fft,
                               hps.data.get("num_mels", 80),
                               hps.data.hop_size, hps.data.win_size)
     if hp.get("mel_grad_function", False):
-        return MelGradLoss(sr, hps.data.clip_val,
+        return MelGradLoss(sr, clip_val,
                            hp.get("n_mels_max", 80), hp.get("mel_norm"))
-    return MelLoss(sr, hps.data.clip_val,
+    return MelLoss(sr, clip_val,
                    no_zero=hp.get("no_zero_at_mel_filter", True),
                    n_mels_max=hp.get("n_mels_max", 80))
 
@@ -63,7 +66,7 @@ def _optim_sched_from_config(hps):
                            if hasattr(hp.get("scheduler_kwargs", {}),
                                       "to_dict")
                            else hp.get("scheduler_kwargs", {}),
-                           hp.max_epochs)
+                           hp.get("max_epochs", 1))
     clip_kw = hp.get("clip_grad_kwargs", {})
     clipper = make_clipper(
         hp.clip_grad, clip_kw.to_dict() if hasattr(clip_kw, "to_dict")

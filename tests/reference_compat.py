@@ -20,6 +20,9 @@ REFERENCE_DIR = "/root/reference"
 
 def _stub(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
+    # Tag so dependency-gated oracle tests can tell this placeholder apart
+    # from the real package (importorskip alone would happily import it).
+    mod.__is_reference_compat_stub__ = True
     sys.modules[name] = mod
     return mod
 

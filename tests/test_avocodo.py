@@ -55,6 +55,7 @@ def test_from_reference_config(reference_dir):
     assert set(discs.discs) == {"combd", "sbd"}
 
 
+@pytest.mark.slow
 def test_combd_sbd_forward(reference_dir, rng):
     hp = load_config(os.path.join(reference_dir, "configs",
                                   "avocodo_music.yaml"))
@@ -82,6 +83,7 @@ def test_simple_balancer():
     np.testing.assert_allclose(float(total), 45 * 2 + 3 + 0.1, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_avocodo_codec_streaming_protocol(rng):
     """AvocodoModel wrapped in CodecModel streams the deployment graph:
     encode_stream tokens == offline encode, decode_stream == the batched

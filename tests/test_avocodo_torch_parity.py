@@ -328,6 +328,7 @@ def test_avocodo_discriminator_parity(setup):
 # 3. one full training step
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_avocodo_train_step_parity(setup, monkeypatch):
     trainer, state, tm, tdisc, wav = setup
     tm.train()

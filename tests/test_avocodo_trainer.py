@@ -14,6 +14,7 @@ from hilcodec_tpu.train.step_avocodo import (AvocodoCodecModel,
                                              AvocodoTrainer)
 
 
+@pytest.mark.slow
 def test_avocodo_train_step(rng):
     # strides chosen so the 3 decoder heads land on 1/8, 1/2, full rate
     # (matching the PQMF lv2/lv1 target ladder like the shipped [8,5,4,2])
@@ -57,11 +58,15 @@ def test_avocodo_train_step(rng):
     for k in ("loss/freq", "loss/combd_g", "loss/combd_fm", "loss/d",
               "loss/vq"):
         assert np.isfinite(float(m[k])), k
-    a = jax.tree.leaves(state.params_g)[0]
-    b = jax.tree.leaves(new_state.params_g)[0]
-    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # leaf 0 can be a zero-init scale whose upstream grad is blocked at
+    # init, so require a global parameter movement instead of one leaf
+    delta = sum(float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).sum())
+                for a, b in zip(jax.tree.leaves(state.params_g),
+                                jax.tree.leaves(new_state.params_g)))
+    assert delta > 0.0
 
 
+@pytest.mark.slow
 def test_avocodo_under_hilcodec_trainer(rng):
     """`train.trainer: hilcodec` routes the avocodo generator (full-rate
     head) through the standard balancer GAN trainer — the controlled
@@ -102,9 +107,12 @@ def test_avocodo_under_hilcodec_trainer(rng):
     assert int(new_state.iteration) == 1
     for k in ("loss/freq", "loss/mstftd_g", "loss/mstftd_fm", "loss/vq"):
         assert np.isfinite(float(m[k])), k
-    a = jax.tree.leaves(state.params_g)[0]
-    b = jax.tree.leaves(new_state.params_g)[0]
-    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # leaf 0 can be a zero-init scale whose upstream grad is blocked at
+    # init, so require a global parameter movement instead of one leaf
+    delta = sum(float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).sum())
+                for a, b in zip(jax.tree.leaves(state.params_g),
+                                jax.tree.leaves(new_state.params_g)))
+    assert delta > 0.0
 
 
 def test_avocodo_codec_forward_single_scale(rng):

@@ -33,6 +33,7 @@ def test_speech_config_shapes(model):
     assert model.hop_length == 320
 
 
+@pytest.mark.slow
 def test_training_forward(model, state, rng):
     params, vq_state = state
     wav = (rng.standard_normal((2, 1, 320 * 8)) * 0.3).astype(np.float32)
@@ -54,6 +55,7 @@ def test_offline_roundtrip_shapes(model, state, rng):
     assert out.shape == (1, 1, 320 * 16)
 
 
+@pytest.mark.slow
 def test_stream_equals_offline(model, state, rng):
     """Scan-carried streaming tokens == whole-utterance tokens; streaming
     decode == offline decode (the property replacing the reference's manual
@@ -90,6 +92,7 @@ def test_stream_block_sizes_agree(model, state, rng):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
 
 
+@pytest.mark.slow
 def test_stream_unroll_parity(model, state, rng):
     """unroll>1 is a pure scheduling hint: tokens and wav bit-match."""
     params, vq_state = state
@@ -108,6 +111,7 @@ def test_stream_unroll_parity(model, state, rng):
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w4), atol=0)
 
 
+@pytest.mark.slow
 def test_stream_chunks_parity(model, state, rng):
     """stream_chunks=G (per-frame chunked group execution) matches the
     flat path: tokens equal, wav and caches allclose."""
@@ -133,6 +137,7 @@ def test_stream_chunks_parity(model, state, rng):
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_encdec_scan_parity(model, state, rng):
     """encode_decode_stream (one scan) == encode_stream then decode_stream
     (two scans): tokens and wav bitwise, caches bitwise."""
@@ -152,6 +157,7 @@ def test_fused_encdec_scan_parity(model, state, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cast_streaming_params(model, state):
     """kernels_only casts exactly the rank>=3 leaves; full cast casts all;
     the bf16 program runs end-to-end with bf16 caches and f32 tokens."""

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from test_train_step import tiny_trainer
 
 
+@pytest.mark.slow
 def test_train_steps_bit_deterministic(rng):
     """Same seeds => bit-identical state after 2 steps (the reference's
     determinism levers, SURVEY.md §5.2, hold by construction here —
@@ -28,6 +29,7 @@ def test_train_steps_bit_deterministic(rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_checkpoint_to_inference_roundtrip(tmp_path, rng):
     """Save a train checkpoint, reload it, fold params, and verify the
     streaming tokens match the unfolded offline tokens (the deploy path

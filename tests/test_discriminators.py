@@ -62,6 +62,7 @@ def shipped_discs():
     )
 
 
+@pytest.mark.slow
 def test_shipped_discriminators_forward(shipped_discs, rng):
     params = shipped_discs.init(jax.random.PRNGKey(0))
     x = (rng.standard_normal((2, 1, 4800)) * 0.3).astype(np.float32)
@@ -75,6 +76,7 @@ def test_shipped_discriminators_forward(shipped_discs, rng):
         assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_gan_losses_on_disc_output(shipped_discs, rng):
     params = shipped_discs.init(jax.random.PRNGKey(0))
     xg = (rng.standard_normal((1, 1, 2400)) * 0.3).astype(np.float32)
@@ -129,6 +131,7 @@ def test_avg_pool_matches_torch(rng):
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fbd_bands1d_lowering_matches_conv2d(shipped_discs, rng):
     """The bands-in-batch conv1d lowering of the FilterBank discriminators
     (every conv has kh=1, so the period axis never mixes) must reproduce

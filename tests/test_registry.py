@@ -105,6 +105,7 @@ def test_vq_config_routing():
         CodecModel.from_config(dict(kw, vq="ResidualGainShapeVQ"))
 
 
+@pytest.mark.slow
 def test_build_codec_model_protocol_all_families():
     """build_codec_model returns the full CodecModel protocol for every
     family (infer.py/export.py surface): init -> (params, vq_state),

@@ -93,6 +93,7 @@ def tiny_hps(root):
     )
 
 
+@pytest.mark.slow
 def test_train_loop_two_epochs(corpus, tmp_path):
     from hilcodec_tpu.train.loop import TrainLoop
 
@@ -172,6 +173,7 @@ def avocodo_hps(root):
     return hps
 
 
+@pytest.mark.slow
 def test_train_loop_avocodo_family(corpus, tmp_path):
     """`model: avocodo` trains through the real epoch loop with CoMBD
     losses, checkpoints, and resumes (VERDICT item 2)."""
@@ -199,6 +201,7 @@ def test_train_loop_avocodo_family(corpus, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_loop_encodec_family(corpus, tmp_path):
     """`model: encodec` trains through the generic balancer trainer."""
     from hilcodec_tpu.train.loop import TrainLoop
@@ -228,6 +231,7 @@ def test_train_loop_encodec_family(corpus, tmp_path):
     assert latest_checkpoint(run_dir)[0] == 1
 
 
+@pytest.mark.slow
 def test_train_loop_plateau_and_hists(corpus, tmp_path):
     """ReduceLROnPlateau decays TrainState.lr_scale from the valid metric,
     and plot_param_and_grad dumps histograms (VERDICT item 5)."""

@@ -208,6 +208,7 @@ def _warm_scales(params_g):
     return walk(params_g)
 
 
+@pytest.mark.slow
 def test_full_train_step_parity(dist_group, rng):
     trainer = _build_jax()
     state = trainer.init_state(jax.random.PRNGKey(11))

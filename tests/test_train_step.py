@@ -100,6 +100,7 @@ def test_valid_step(trainer, rng):
     assert all(np.isfinite(float(v)) for v in losses.values())
 
 
+@pytest.mark.slow
 def test_parallel_train_step_8dev(rng):
     """Data-parallel step on the virtual 8-CPU mesh: replicated states stay
     bit-identical (the reference's end-of-epoch consistency assert,
@@ -132,6 +133,7 @@ def test_parallel_train_step_8dev(rng):
                                    atol=2e-4)
 
 
+@pytest.mark.slow
 def test_overfit_single_batch(rng):
     """Training sanity: repeated steps on one batch drive the mel loss
     down (the balancer + AdamP + straight-through VQ actually learn)."""
@@ -150,6 +152,7 @@ def test_overfit_single_batch(rng):
     assert last < first * 0.95, (first, last)
 
 
+@pytest.mark.slow
 def test_clip_grad_changes_updates(rng):
     """clip_grad: norm_local with a tiny max_norm must change the applied
     update (reference wrapper.py:252-257 clips every step)."""
@@ -174,6 +177,7 @@ def test_clip_grad_changes_updates(rng):
     assert any(diffs), "clipping had no effect on the update"
 
 
+@pytest.mark.slow
 def test_disc_update_ratio_skips_d(rng):
     """disc_update_ratio=[1,2]: D params move only on steps with
     (idx % r1) < r0 (wrapper.py:265); the skipped step leaves D and its
@@ -205,6 +209,7 @@ def test_disc_update_ratio_skips_d(rng):
     assert float(m2["loss/d"]) != 0.0
 
 
+@pytest.mark.slow
 def test_lr_scale_multiplies_lr(trainer, rng):
     """TrainState.lr_scale (ReduceLROnPlateau host knob) scales the
     effective LR inside the compiled step."""
@@ -253,6 +258,7 @@ def test_reduce_lr_on_plateau_semantics():
     assert st2["scale"] == pytest.approx(0.1)  # floored at min_lr/base_lr
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_step(rng):
     """compute_dtype=bfloat16: networks run bf16, masters/VQ/losses stay
     f32, the step is finite and moves params; f32 state dtypes preserved."""
@@ -402,6 +408,7 @@ def test_fbd_lowering_and_fam_mode_config_plumb():
 
 
 @pytest.mark.parametrize("mode", ["vmap", "joint"])
+@pytest.mark.slow
 def test_fam_mode_equivalence(trainer, rng, mode):
     """fam_mode 'vmap'/'joint' are pure gradient-plumbing restructurings
     of 'separate' (train/step.py) — same losses, same G/D grads, same
