@@ -18,8 +18,8 @@ import numpy as np
 
 def parse_args(argv):
     """[streams] [--model M] [--mesh] [--seconds S] [--unroll K]
-    [--chunks G] [--megakernel|--no-megakernel] — fail fast on malformed
-    input."""
+    [--chunks G] [--frames F] [--megakernel|--no-megakernel] — fail fast
+    on malformed input."""
     seconds, mesh = 4.0, "--mesh" in argv
     dispatch = "--dispatch" in argv
     fused = "--fused" in argv
@@ -43,7 +43,8 @@ def parse_args(argv):
             sys.exit(f"error: unknown --dtype {dtype_mode!r} "
                      "(f32 | bf16w | bf16)")
         argv = argv[:i] + argv[i + 2:]
-    for flag in ("--unroll", "--chunks", "--model"):
+    frames = 1
+    for flag in ("--unroll", "--chunks", "--frames", "--model"):
         if flag in argv:
             i = argv.index(flag)
             if i + 1 >= len(argv):
@@ -62,6 +63,8 @@ def parse_args(argv):
                          f"{argv[i + 1]!r}")
             if flag == "--unroll":
                 unroll = val
+            elif flag == "--frames":
+                frames = val
             else:
                 chunks = val
             argv = argv[:i] + argv[i + 2:]
@@ -81,7 +84,7 @@ def parse_args(argv):
     except ValueError:
         sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
     return (streams, seconds, mesh, mega, unroll, chunks, model_name,
-            dispatch, dtype_mode, fused)
+            dispatch, dtype_mode, fused, frames)
 
 
 def run_dispatch_bench(model, params, vq_state, streams):
@@ -182,7 +185,7 @@ def build_bench_model(model_name):
 
 def main():
     (streams, seconds, use_mesh, mega, unroll, chunks, model_name,
-     dispatch, dtype_mode, fused) = parse_args(sys.argv[1:])
+     dispatch, dtype_mode, fused, frames) = parse_args(sys.argv[1:])
     import jax
     import jax.numpy as jnp
     try:
@@ -226,7 +229,13 @@ def main():
 
     hop = model.hop_length
     sr = 24000
-    frames_per_step = 1          # true 13.33 ms frame-by-frame streaming
+    # --frames F > 1 = block streaming: F frames per scan iteration.
+    # Tokens are bit-identical to frame-by-frame (the causal cache algebra
+    # is block-size-invariant, tests/test_codec_api.py::
+    # test_stream_block_sizes_agree); the trade is algorithmic latency
+    # (F x 13.33 ms) for larger per-kernel shapes that tile the MXU better
+    # and amortize the backend's fixed per-scan-iteration cost.
+    frames_per_step = frames     # default 1 = true 13.33 ms streaming
     n_frames = int(seconds * sr) // hop
     n_frames -= n_frames % frames_per_step
 
@@ -290,11 +299,15 @@ def main():
         metric += f"_{dtype_mode}"
     if fused:
         metric += "_fused"
+    if frames_per_step != 1:
+        metric += f"_f{frames_per_step}"
     result = {
         "metric": metric,
         "value": round(rtf, 2),
         "unit": f"x_realtime_24khz (streams={streams}, "
-                f"frame={hop} samples)",
+                f"frame={hop} samples"
+                + (f", block={frames_per_step} frames"
+                   if frames_per_step != 1 else "") + ")",
         "vs_baseline": round(rtf / 100.0, 3),
     }
     # MFU accounting (VERDICT round-1 weak #5): XLA's own analytic FLOP

@@ -23,6 +23,7 @@ Usage:
   python scripts/streaming_roofline.py [streams] [--seconds S]
       [--dtype f32|bf16w|bf16] [--fused] [--analytic-only] [--probe]
       [--agree]   # token agreement + wav SNR vs the f32 program
+      [--shapes]  # measured per-conv-signature MXU floor (chip only)
 """
 
 import json
@@ -186,14 +187,146 @@ def probe_fusion_overhead():
             for k in ks} | {"per_fusion_overhead_us": round(slope_us, 3)}
 
 
+def collect_conv_signatures(jaxpr, out, scale=1):
+    """Unique conv_general_dilated signatures in the program with per-frame
+    instance counts (recursing into scan bodies WITHOUT multiplying by trip
+    count — callers trace a single-frame program)."""
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim in ("scan", "while", "cond", "pjit", "jit", "closed_call",
+                    "custom_vjp_call", "custom_jvp_call", "remat",
+                    "checkpoint", "custom_vjp_call_jaxpr", "core_call",
+                    "xla_call", "shard_map"):
+            if prim == "scan":
+                collect_conv_signatures(eqn.params["jaxpr"].jaxpr, out,
+                                        scale)
+            elif prim == "cond":
+                for s in eqn.params["branches"]:
+                    collect_conv_signatures(s.jaxpr, out, scale)
+            elif prim == "while":
+                collect_conv_signatures(eqn.params["body_jaxpr"].jaxpr,
+                                        out, scale)
+            else:
+                cj = (eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+                      or eqn.params.get("fun_jaxpr"))
+                sub = cj.jaxpr if hasattr(cj, "jaxpr") else cj
+                if sub is not None:
+                    collect_conv_signatures(sub, out, scale)
+            continue
+        if prim != "conv_general_dilated":
+            continue
+        lhs, rhs = [v.aval for v in eqn.invars[:2]]
+        p = eqn.params
+        sig = (tuple(lhs.shape), str(lhs.dtype),
+               tuple(rhs.shape), str(rhs.dtype),
+               tuple(p["window_strides"]),
+               tuple(tuple(q) for q in p["padding"]),
+               tuple(p["lhs_dilation"]), tuple(p["rhs_dilation"]),
+               p["dimension_numbers"], p["feature_group_count"])
+        out[sig] = out.get(sig, 0) + scale
+
+
+def probe_conv_shapes(enc_dec, wav, ce, cd, iters=200, K=16):
+    """Shape-aware MXU floor: measure every unique conv signature of the
+    single-frame program standalone (16 barrier-chained instances inside a
+    200-iteration scan; per-conv time = per-iter time minus the backend's
+    fixed per-iteration cost, divided by 16). The sum over instance counts
+    is the floor the MXU actually admits for these shapes — the analytic
+    197 TF/s floor assumes perfect tiling, which 128-row lhs tiles of a
+    frame step cannot reach."""
+    import jax
+    import jax.numpy as jnp
+
+    sigs = {}
+    collect_conv_signatures(jax.make_jaxpr(enc_dec)(wav, ce, cd).jaxpr,
+                            sigs)
+
+    # fixed per-scan-iteration cost on this backend (same probe as
+    # probe_fusion_overhead, small-K point)
+    x0 = jnp.ones((128, 128), jnp.float32)
+
+    def tiny(x, _):
+        for _i in range(8):
+            x = jax.lax.optimization_barrier(x * 1.0001 + 1e-6)
+        return x, ()
+
+    f0 = jax.jit(lambda x: jax.lax.scan(tiny, x, None, length=iters)[0])
+    jax.block_until_ready(f0(x0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f0(x0))
+    intercept_us = (time.perf_counter() - t0) / iters * 1e6
+
+    per_shape = []
+    total_us = 0.0
+    total_flops = 0.0
+    for sig, count in sorted(sigs.items(),
+                             key=lambda kv: -kv[1]):
+        (lshape, ldt, rshape, rdt, ws, pad, ldil, rdil, dn, fg) = sig
+        l = (jax.random.normal(jax.random.PRNGKey(3), lshape)
+             * 0.1).astype(ldt)
+        r = (jax.random.normal(jax.random.PRNGKey(4), rshape)
+             * 0.1).astype(rdt)
+
+        def body(c, _, l=l, r=r, ws=ws, pad=pad, ldil=ldil, rdil=rdil,
+                 dn=dn, fg=fg, ldt=ldt):
+            for _i in range(K):
+                o = jax.lax.conv_general_dilated(
+                    l + c.astype(ldt), r, window_strides=ws, padding=pad,
+                    lhs_dilation=ldil, rhs_dilation=rdil,
+                    dimension_numbers=dn, feature_group_count=fg)
+                o = jax.lax.optimization_barrier(o)
+                c = o.ravel()[0].astype(jnp.float32) * 1e-20
+            return c, ()
+
+        f = jax.jit(lambda c: jax.lax.scan(body, c, None,
+                                           length=iters)[0])
+        c = f(jnp.float32(0.0))
+        jax.block_until_ready(c)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(jnp.float32(0.0)))
+        per_iter_us = (time.perf_counter() - t0) / iters * 1e6
+        conv_us = max(per_iter_us - intercept_us, 0.0) / K
+        # analytic flops of this signature
+        cin_per_g = rshape[dn.rhs_spec[1]]
+        ksp = 1
+        for d in dn.rhs_spec[2:]:
+            ksp *= rshape[d]
+        o_aval = jax.eval_shape(
+            lambda l, r: jax.lax.conv_general_dilated(
+                l, r, window_strides=ws, padding=pad, lhs_dilation=ldil,
+                rhs_dilation=rdil, dimension_numbers=dn,
+                feature_group_count=fg), l, r)
+        osize = int(np.prod(o_aval.shape))
+        flops = 2 * osize * cin_per_g * ksp
+        per_shape.append({
+            "lhs": list(lshape), "rhs": list(rshape), "g": fg,
+            "count": count, "us": round(conv_us, 2),
+            "tflops": round(flops / max(conv_us, 1e-3) / 1e6, 1),
+            "mxu_eff": round(flops / max(conv_us, 1e-3) / 1e6
+                             / (V5E_BF16_TFLOPS / 1e12), 3),
+        })
+        total_us += conv_us * count
+        total_flops += flops * count
+    return {
+        "shape_floor_intercept_us": round(intercept_us, 2),
+        "shape_floor_conv_us_per_frame": round(total_us, 1),
+        "shape_floor_conv_flops_per_frame": total_flops,
+        "shape_floor_avg_mxu_eff": round(
+            total_flops / max(total_us, 1e-3) / 1e6
+            / (V5E_BF16_TFLOPS / 1e12), 3),
+        "conv_signatures": per_shape,
+    }
+
+
 def main():
     argv = sys.argv[1:]
     dtype_mode, seconds, fused = "f32", 2.0, "--fused" in argv
     analytic_only = "--analytic-only" in argv
     probe = "--probe" in argv
     agree = "--agree" in argv
+    shapes = "--shapes" in argv
     argv = [a for a in argv if a not in ("--fused", "--analytic-only",
-                                         "--probe", "--agree")]
+                                         "--probe", "--agree", "--shapes")]
     if "--dtype" in argv:
         i = argv.index("--dtype")
         dtype_mode = argv[i + 1]
@@ -261,6 +394,15 @@ def main():
 
     if probe:
         report |= probe_fusion_overhead()
+
+    if shapes:
+        sh = probe_conv_shapes(enc_dec, wav, ce, cd)
+        sigs = sh.pop("conv_signatures")
+        report |= sh
+        print(json.dumps(report))
+        for s in sigs:
+            print(json.dumps(s))
+        return
 
     print(json.dumps(report))
 
