@@ -17,7 +17,7 @@ identical cdfs.
 Usage:
   python scripts/entropy_code.py -c logs/synth/config.yaml \
       --ckpt logs/synth/00025.ckpt.npz --lm logs/synth_lm/03000.ckpt.npz \
-      -i input.wav [-n N_Q] [--seg-tokens 225] [--out stream.bin]
+      -i input.wav [-n N_Q] [--seg-tokens 150] [--out stream.bin]
 """
 
 import argparse
@@ -38,7 +38,7 @@ def main():
     p.add_argument("--lm", required=True, help="LM checkpoint (train_lm.py)")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-n", "--n-q", type=int, default=None)
-    p.add_argument("--seg-tokens", type=int, default=225)
+    p.add_argument("--seg-tokens", type=int, default=150)
     p.add_argument("--dim", type=int, default=200)
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--layers", type=int, default=5)

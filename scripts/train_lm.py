@@ -25,22 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def tokenize_dir(model, params, vq_state, wav_dir, seg_tokens, hop, n_q,
-                 batch=32):
-    """Encode every wav under wav_dir into non-overlapping seg_tokens-frame
-    token segments. Returns int32 [N_seg, n_q, seg_tokens]."""
+                 batch=32, stride_tokens=None):
+    """Encode every wav under wav_dir into seg_tokens-frame token segments
+    (stride_tokens < seg_tokens = overlapping segments, used for the train
+    split so short-utterance corpora aren't mostly discarded). Returns
+    int32 [N_seg, n_q, seg_tokens]."""
     import jax
     import jax.numpy as jnp
 
     from hilcodec_tpu.utils.wavio import read_wav
 
     seg_samples = seg_tokens * hop
+    stride = (stride_tokens or seg_tokens) * hop
     segs = []
     for root, _dirs, files in os.walk(wav_dir):
         for f in sorted(files):
             if not f.lower().endswith(".wav"):
                 continue
             wav, _sr = read_wav(os.path.join(root, f))
-            for i in range(0, len(wav) - seg_samples + 1, seg_samples):
+            for i in range(0, len(wav) - seg_samples + 1, stride):
                 segs.append(wav[i:i + seg_samples])
     if not segs:
         raise SystemExit(f"no usable wavs under {wav_dir}")
@@ -65,8 +68,10 @@ def main():
                    help="corpus root with train/ and eval/ wav dirs")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--seg-tokens", type=int, default=225,
-                   help="LM context length in frames (225 = 3 s @ 75 fps)")
+    p.add_argument("--seg-tokens", type=int, default=150,
+                   help="LM context length in frames (150 = 2 s @ 75 fps; "
+                   "train segments stride seg/2 for coverage of "
+                   "short-utterance corpora)")
     p.add_argument("--n-q", type=int, default=None,
                    help="quantizers to model (default: codec's full ladder)")
     p.add_argument("--dim", type=int, default=200)
@@ -107,7 +112,8 @@ def main():
           f"seg={ns.seg_tokens} tokens")
     train_toks = tokenize_dir(model, params, vq_state,
                               os.path.join(ns.data, "train"),
-                              ns.seg_tokens, hop, n_q)
+                              ns.seg_tokens, hop, n_q,
+                              stride_tokens=max(1, ns.seg_tokens // 2))
     eval_toks = tokenize_dir(model, params, vq_state,
                              os.path.join(ns.data, "eval"),
                              ns.seg_tokens, hop, n_q)
