@@ -43,6 +43,16 @@ def parse_args(argv):
             sys.exit(f"error: unknown --dtype {dtype_mode!r} "
                      "(f32 | bf16w | bf16)")
         argv = argv[:i] + argv[i + 2:]
+    depthwise = "conv"
+    if "--depthwise" in argv:
+        i = argv.index("--depthwise")
+        if i + 1 >= len(argv):
+            sys.exit("error: --depthwise requires a value")
+        depthwise = argv[i + 1]
+        if depthwise not in ("conv", "shift"):
+            sys.exit(f"error: unknown --depthwise {depthwise!r} "
+                     "(conv | shift)")
+        argv = argv[:i] + argv[i + 2:]
     frames = 1
     for flag in ("--unroll", "--chunks", "--frames", "--model"):
         if flag in argv:
@@ -84,7 +94,7 @@ def parse_args(argv):
     except ValueError:
         sys.exit(f"error: streams must be an integer, got {pos[0]!r}")
     return (streams, seconds, mesh, mega, unroll, chunks, model_name,
-            dispatch, dtype_mode, fused, frames)
+            dispatch, dtype_mode, fused, frames, depthwise)
 
 
 def run_dispatch_bench(model, params, vq_state, streams):
@@ -185,9 +195,17 @@ def build_bench_model(model_name):
 
 def main():
     (streams, seconds, use_mesh, mega, unroll, chunks, model_name,
-     dispatch, dtype_mode, fused, frames) = parse_args(sys.argv[1:])
+     dispatch, dtype_mode, fused, frames, depthwise) = parse_args(
+        sys.argv[1:])
     import jax
     import jax.numpy as jnp
+    if depthwise != "conv":
+        # route pure-depthwise convs (incl. the streaming convT step) as
+        # k shifted VPU FMAs instead of XLA's grouped-conv lowering — the
+        # round-4 shapes probe measured that lowering at 83-298 us for
+        # ops whose tap-sum form is pure fusable elementwise work
+        from hilcodec_tpu.ops.conv import set_depthwise_lowering
+        set_depthwise_lowering(depthwise)
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/hilcodec_tpu_jax_cache")
@@ -301,6 +319,8 @@ def main():
         metric += "_fused"
     if frames_per_step != 1:
         metric += f"_f{frames_per_step}"
+    if depthwise != "conv":
+        metric += f"_dw{depthwise}"
     result = {
         "metric": metric,
         "value": round(rtf, 2),

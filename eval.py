@@ -170,13 +170,31 @@ def main():
                                   n=ns.num_quantizers)
             return model.decode(params, vq_state, tokens)
 
+        @jax.jit
+        def code_stream(wav, cache_enc, cache_dec):
+            # long-input path: the batched graph's size grows with input
+            # length (round-4: a 30 s wav's program blew the remote-compile
+            # request limit), while the scan program is length-independent
+            # per hop-count bucket. stream == batch is bit-exact on
+            # hop-multiple inputs (tests/test_codec_api.py).
+            tokens, cache_enc = model.encode_stream(
+                params, vq_state, wav, cache_enc, n=ns.num_quantizers,
+                megakernel=False)
+            out, cache_dec = model.decode_stream(
+                params, vq_state, tokens, cache_dec, megakernel=False)
+            return out
+
         def run_model(wav):
             # pad to a fixed power-of-two hop count to bound recompiles
             L = len(wav) // hop * hop
             Lp = hop * (1 << max(0, (L // hop - 1)).bit_length())
             x = np.zeros((1, 1, Lp), np.float32)
             x[0, 0, :L] = wav[:L]
-            y = code(jnp.asarray(x))
+            if Lp // hop > 512:
+                ce, cd = model.init_cache(1)
+                y = code_stream(jnp.asarray(x), ce, cd)
+            else:
+                y = code(jnp.asarray(x))
             return np.asarray(y[0, 0, :L])
 
     per_file = {m: [] for m in metrics}

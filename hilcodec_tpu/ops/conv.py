@@ -166,8 +166,8 @@ def _convt_weight_as_conv(w: jnp.ndarray, groups: int) -> jnp.ndarray:
     return w.reshape(groups * cout_g, cin_g, k)
 
 
-def _shift_depthwise_convt(x: jnp.ndarray, w: jnp.ndarray,
-                           stride: int) -> jnp.ndarray:
+def _shift_depthwise_convt(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                           prepadded: bool = False) -> jnp.ndarray:
     """Causal depthwise transposed conv as a polyphase bank of shifted
     FMAs. x: [B, C, L]; w: [C, 1, k] (torch ConvTranspose1d layout).
 
@@ -175,13 +175,19 @@ def _shift_depthwise_convt(x: jnp.ndarray, w: jnp.ndarray,
     output phase p = i mod s is the causal FIR y_p[t] = sum_m w[p+m*s]
     * x[t-m] — each phase ceil((k-p)/s) taps, interleaved back by a
     reshape. Matches `causal_conv_transpose1d` (right-trim k-s) exactly.
+
+    `prepadded=True` means x already carries the ceil(k/s)-1 history
+    frames on the left (the streaming step's cache — its length
+    floor((k-1)/s) equals ceil(k/s)-1 for every k>=1), so no pad is
+    applied and the output covers the trailing L-(n_taps-1) positions.
     """
     B, C, L = x.shape
     k = w.shape[-1]
     s = stride
     w = w.astype(x.dtype)
     n_taps = -(-k // s)  # max taps over phases
-    xp = jnp.pad(x, ((0, 0), (0, 0), (n_taps - 1, 0)))
+    xp = x if prepadded else jnp.pad(x, ((0, 0), (0, 0), (n_taps - 1, 0)))
+    tout = xp.shape[-1] - (n_taps - 1)
     phases = []
     for p in range(s):
         y = None
@@ -190,11 +196,11 @@ def _shift_depthwise_convt(x: jnp.ndarray, w: jnp.ndarray,
             if a >= k:
                 break
             sl = lax.slice(xp, (0, 0, n_taps - 1 - m),
-                           (B, C, n_taps - 1 - m + L))
+                           (B, C, n_taps - 1 - m + tout))
             term = w[None, :, 0, a:a + 1] * sl
             y = term if y is None else y + term
         phases.append(y)
-    return jnp.stack(phases, axis=-1).reshape(B, C, L * s)
+    return jnp.stack(phases, axis=-1).reshape(B, C, tout * s)
 
 
 def causal_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
@@ -252,6 +258,14 @@ def causal_conv_transpose1d_step(x: jnp.ndarray, cache: jnp.ndarray,
     cache_len = cache.shape[-1]
     xc = jnp.concatenate([cache, x], axis=-1)
     new_cache = xc[:, :, xc.shape[-1] - cache_len:]
+    if (_DEPTHWISE_LOWERING == "shift" and dilation == 1 and groups > 1
+            and groups == x.shape[1] == w.shape[0] and w.shape[1] == 1):
+        # cache_len = floor((k-1)/s) = ceil(k/s)-1 — exactly the polyphase
+        # history, so xc is the prepadded input of the batched shift form.
+        y = _shift_depthwise_convt(xc, w, stride, prepadded=True)
+        if b is not None:
+            y = y + b.astype(y.dtype)[None, :, None]
+        return y, new_cache
     wc = _convt_weight_as_conv(w, groups)
     rf = dilation * (k - 1)
     y = lax.conv_general_dilated(

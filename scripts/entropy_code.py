@@ -76,6 +76,13 @@ def main():
     lm = LMModel(n_q=n_q, card=card, dim=ns.dim, num_heads=ns.heads,
                  num_layers=ns.layers, past_context=ns.seg_tokens)
     lm_params, _ = load_checkpoint(ns.lm, lm.init(jax.random.PRNGKey(0)))
+    # checkpoints load as numpy; LMModel.apply gathers embeddings by
+    # tracer index (emb[k][indices]), which numpy arrays reject — and
+    # numpy closure constants get baked into the lowered program. Put
+    # everything on device once.
+    lm_params = jax.tree_util.tree_map(jnp.asarray, lm_params)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    vq_state = jax.tree_util.tree_map(jnp.asarray, vq_state)
 
     wav, sr = read_wav(ns.input)
     assert sr == hps.data.sampling_rate, (sr, hps.data.sampling_rate)
@@ -84,9 +91,22 @@ def main():
     assert n_seg > 0, "input shorter than one LM segment"
     wav = wav[: n_seg * S * hop].astype(np.float32)
 
-    encode = jax.jit(lambda w: model.encode(params, vq_state, w, n=n_q))
-    tokens = np.asarray(encode(jnp.asarray(wav[None, None])))  # [n_q,1,T]
-    tokens = tokens[:, 0].astype(np.int64)                     # [n_q, T]
+    if len(wav) // hop > 512:
+        # long-input path: stream the encoder (the batched program's size
+        # grows with length and can blow the compile-request limit; the
+        # scan program is length-independent and bit-identical)
+        @jax.jit
+        def encode(w, cache):
+            toks, _ = model.encode_stream(params, vq_state, w, cache,
+                                          n=n_q, megakernel=False)
+            return toks
+        tokens = np.asarray(encode(jnp.asarray(wav[None, None]),
+                                   model.init_cache(1)[0]))
+    else:
+        encode = jax.jit(
+            lambda w: model.encode(params, vq_state, w, n=n_q))
+        tokens = np.asarray(encode(jnp.asarray(wav[None, None])))
+    tokens = tokens[:, 0].astype(np.int64)          # [n_q,1,T] -> [n_q, T]
 
     @jax.jit
     def lm_probs(inputs):                 # [1, n_q, S] -> [card, n_q, S]

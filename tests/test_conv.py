@@ -229,3 +229,39 @@ def test_depthwise_shift_lowering_matches_convt(k, s, rng):
     for name, a, b in zip(("y", "gx", "gw"), got, ref):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("k,s", [(16, 8), (10, 5), (8, 4), (4, 2), (7, 3),
+                                 (5, 1)])
+def test_depthwise_shift_lowering_matches_convt_step(k, s, rng):
+    """Streaming convT step under the shift lowering == the lhs-dilated
+    conv lowering, chunk by chunk (the round-4 shapes probe measured the
+    grouped-conv streaming decoder upsamples at 146-298 us standalone;
+    this pins the polyphase replacement to the exact cache semantics)."""
+    B, ch, L, chunk = 2, 6, 24, 4
+    x = rng.standard_normal((B, ch, L)).astype(np.float32)
+    w = (rng.standard_normal((ch, 1, k)) * 0.3).astype(np.float32)
+
+    def run(mode):
+        C.set_depthwise_lowering(mode)
+        try:
+            cache = jnp.zeros(
+                (B, ch, C.causal_conv_transpose1d_cache_len(k, s)))
+            outs = []
+            for i in range(L // chunk):
+                xi = jnp.asarray(x[:, :, i * chunk:(i + 1) * chunk])
+                y, cache = C.causal_conv_transpose1d_step(
+                    xi, cache, jnp.asarray(w), None, s, 1, ch)
+                outs.append(np.asarray(y))
+            return np.concatenate(outs, axis=-1)
+        finally:
+            C.set_depthwise_lowering("conv")
+
+    ref = run("conv")
+    got = run("shift")
+    assert got.shape == (B, ch, L * s)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+    # and both equal the batched forward
+    full = np.asarray(C.causal_conv_transpose1d(
+        jnp.asarray(x), jnp.asarray(w), None, s, 1, ch))
+    np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-5)
