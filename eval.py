@@ -102,6 +102,10 @@ def main():
     p.add_argument("--sr", type=int, default=None,
                    help="sample rate override (default: config or wav)")
     p.add_argument("--max-files", type=int, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="force the streaming scan path for every input "
+                        "(length-independent program; use when the batched "
+                        "graph is too big for the compile service)")
     p.add_argument("-v", "--verbose", action="store_true")
     ns = p.parse_args()
     metrics = [m.strip() for m in ns.metrics.split(",") if m.strip()]
@@ -162,6 +166,12 @@ def main():
                 jnp.float32)
         if hasattr(model, "fold_params"):
             params = model.fold_params(params)
+        # checkpoints load as numpy; closed-over numpy constants get baked
+        # into the lowered MLIR (an encodec n=32 program serialized at
+        # 76 MB and crashed the compile service). Put params on device
+        # once so the program references them as runtime arguments.
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        vq_state = jax.tree_util.tree_map(jnp.asarray, vq_state)
         hop = model.hop_length
 
         @jax.jit
@@ -190,7 +200,7 @@ def main():
             Lp = hop * (1 << max(0, (L // hop - 1)).bit_length())
             x = np.zeros((1, 1, Lp), np.float32)
             x[0, 0, :L] = wav[:L]
-            if Lp // hop > 512:
+            if ns.stream or Lp // hop > 512:
                 ce, cd = model.init_cache(1)
                 y = code_stream(jnp.asarray(x), ce, cd)
             else:

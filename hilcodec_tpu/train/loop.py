@@ -182,7 +182,8 @@ def build_trainer(hps, axis_name: Optional[str] = None):
         disc_update_ratio=tuple(hp.get("disc_update_ratio", (1, 1))),
         axis_name=axis_name, clipper=clipper,
         compute_dtype=_compute_dtype_from_config(hp),
-        fam_mode=hp.get("fam_mode", "separate"))
+        fam_mode=hp.get("fam_mode", "separate"),
+        remat=hp.get("remat", "none"))
 
 
 class TrainLoop:

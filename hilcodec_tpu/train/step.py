@@ -96,6 +96,25 @@ class Trainer:
     #     skippable under lax.cond, so we fall back to "vmap" plumbing
     #     for the G side and the separate d_fn under the cond).
     fam_mode: str = "separate"
+    # Rematerialization (`jax.checkpoint`) of the step's big forwards —
+    # the v5e step is HBM-bound (BASELINE r3: 197 GB/step, 75% of peak
+    # bandwidth at the measured 322 ms), and the dominant bytes are vjp
+    # residuals written in the forward and read back in the backward.
+    # Remat trades those residual round-trips for recompute FLOPs (the
+    # MXU floor is 79 ms vs the 241 ms HBM floor, so FLOPs are the cheap
+    # currency). Comma-separable selectors:
+    #   "none" — store residuals as usual (default);
+    #   "disc" — checkpoint the per-family G-side closures AND the D-loss
+    #     forward (fam_mode separate/vmap; "joint" ignores this);
+    #   "gen"  — checkpoint the generator forward (its residuals otherwise
+    #     stay live across the whole disc/balancer phase);
+    #   "mel"  — checkpoint the multi-res mel loss (STFT intermediates);
+    #   "all"  — all of the above.
+    remat: str = "none"
+
+    def _want_remat(self, which: str) -> bool:
+        sel = {s.strip() for s in self.remat.split(",")}
+        return "all" in sel or which in sel
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: jax.Array) -> TrainState:
@@ -220,6 +239,8 @@ class Trainer:
                 training=True, axis_name=axis)
             return (wav_g, loss_vq), (new_vq, n_rep, loss_vq)
 
+        if self._want_remat("gen"):
+            gen_fn = jax.checkpoint(gen_fn)
         (wav_g, _lv), gen_pull, aux = jax.vjp(gen_fn, state.params_g,
                                               has_aux=True)
         new_vq_state, num_replaces, loss_vq = aux
@@ -236,8 +257,10 @@ class Trainer:
         losses: Dict[str, jnp.ndarray] = {}
         grads: Dict[str, jnp.ndarray] = {}
 
-        mel_val, mel_pull = jax.vjp(
-            lambda w: self.mel_loss(w, wav_r_in)["freq"], wav_g_sg)
+        mel_fn = lambda w: self.mel_loss(w, wav_r_in)["freq"]
+        if self._want_remat("mel"):
+            mel_fn = jax.checkpoint(mel_fn)
+        mel_val, mel_pull = jax.vjp(mel_fn, wav_g_sg)
         losses["freq"] = mel_val
         grads["freq"] = mel_pull(jnp.ones_like(mel_val))[0]
 
@@ -268,6 +291,8 @@ class Trainer:
                         {name: fmaps_r[name]})[f"{name}_fm"]
                     return (g_l, fm_l)
 
+                if self._want_remat("disc"):
+                    fam = jax.checkpoint(fam)
                 (g_l, fm_l), pull = jax.vjp(fam, wav_g_sg)
                 losses[f"{name}_g"] = g_l
                 losses[f"{name}_fm"] = fm_l
@@ -289,6 +314,9 @@ class Trainer:
                 lg, _ = self.disc.apply(p_c, cast(wav_g_sg))
                 lr_logits, _ = self.disc.apply(p_c, cast(wav_r_in))
                 return self._d_loss_fn(f32(lg), f32(lr_logits))
+
+            if self._want_remat("disc"):
+                d_fn = jax.checkpoint(d_fn)
 
             if r1 > 1:
                 # skip the full D backward on masked steps

@@ -2,6 +2,7 @@
 
 Usage: python scripts/bench_train_step.py [bf16|f32] [batch] [--breakdown]
          [--config=configs/<family>.yaml] [--dw=] [--fbd=] [--fam=]
+         [--remat=none|disc|gen|mel|all]
 
 Prints one JSON line {dtype, batch, ms_per_step, audio_s_per_s,
 achieved_tflops, mfu_vs_peak, hbm_gb_per_s, roofline_bound, ...}.
@@ -66,7 +67,8 @@ def _time_fn(fn, argsets, reps=10):
 def main():
     args = [a for a in sys.argv[1:]
             if a != "--breakdown"
-            and not a.startswith(("--dw", "--fbd", "--fam", "--config"))]
+            and not a.startswith(("--dw", "--fbd", "--fam", "--config",
+                                  "--remat"))]
     breakdown = "--breakdown" in sys.argv
     dw = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--dw=")),
               "conv")
@@ -74,6 +76,8 @@ def main():
                 if a.startswith("--fbd=")), "conv2d")
     fam = next((a.split("=", 1)[1] for a in sys.argv
                 if a.startswith("--fam=")), "separate")
+    remat = next((a.split("=", 1)[1] for a in sys.argv
+                  if a.startswith("--remat=")), "none")
     config = next((a.split("=", 1)[1] for a in sys.argv
                    if a.startswith("--config=")),
                   "configs/hilcodec_speech_synth.yaml")
@@ -108,6 +112,8 @@ def main():
         trainer = dataclasses.replace(trainer, compute_dtype=jnp.bfloat16)
     if fam != "separate" and hasattr(trainer, "fam_mode"):
         trainer = dataclasses.replace(trainer, fam_mode=fam)
+    if remat != "none" and hasattr(trainer, "remat"):
+        trainer = dataclasses.replace(trainer, remat=remat)
     state = trainer.init_state(jax.random.PRNGKey(0))
     seg = hps.data.get("segment_size", 24000)
     wav = jnp.asarray(

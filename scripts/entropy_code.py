@@ -8,11 +8,12 @@ tokens always travel at fixed log2(card) bits. This CLI closes that loop
 end-to-end: wav -> codec encode -> LM-driven arithmetic coding -> bytes ->
 arithmetic decode -> tokens (verified identical) -> codec decode -> wav.
 
-Determinism: the encoder teacher-forces ONE LM apply per segment; the
-decoder re-applies the SAME compiled function on the decoded prefix (future
-positions hold the reserved 0 index). Causal masking makes position t's
-probabilities bitwise independent of positions > t, so both sides quantize
-identical cdfs.
+Determinism: encoder and decoder step the SAME compiled batched function
+over timesteps on bit-identical inputs (the decoded prefix equals the true
+prefix; future positions hold the reserved 0 index), so both sides
+quantize identical cdfs. Segments are independent LM contexts and batch
+together, so each direction costs S dispatches total instead of
+n_seg x S — symbols interleave time-major (t, segment, q).
 
 Usage:
   python scripts/entropy_code.py -c logs/synth/config.yaml \
@@ -108,45 +109,55 @@ def main():
         tokens = np.asarray(encode(jnp.asarray(wav[None, None])))
     tokens = tokens[:, 0].astype(np.int64)          # [n_q,1,T] -> [n_q, T]
 
+    # Segments are independent LM contexts, so the autoregressive loop is
+    # batched ACROSS segments and stepped over time: one [B, n_q, S]
+    # forward per timestep instead of one [1, n_q, S] forward per
+    # (segment, timestep) — n_seg x fewer dispatches (the decode wall in
+    # this environment is per-dispatch latency, not FLOPs). Symbols are
+    # interleaved time-major (t, segment, q) so the decoder can batch the
+    # same way. Determinism contract: encode and decode call the SAME
+    # compiled fn on bit-identical inputs (the decoded prefix equals the
+    # true prefix), so their cdfs match exactly.
+    Bp = 1 << max(0, n_seg - 1).bit_length()  # pad batch, bound recompiles
+
     @jax.jit
-    def lm_probs(inputs):                 # [1, n_q, S] -> [card, n_q, S]
-        probs, _, _ = lm.apply(lm_params, inputs)
-        return probs[0]
+    def lm_probs_at(inputs, t):           # [B, n_q, S], t -> [B, card, n_q]
+        probs, _, _ = lm.apply(lm_params, inputs)   # [B, card, n_q, S]
+        return jax.lax.dynamic_slice_in_dim(probs, t, 1, axis=3)[..., 0]
 
-    def seg_inputs(seg_tokens_arr):
-        """true tokens [n_q, S] -> teacher-forced LM inputs [1, n_q, S]."""
-        x = seg_tokens_arr[None] + 1
-        return np.concatenate(
-            [np.zeros((1, n_q, 1), np.int64), x[:, :, :-1]], axis=2)
+    # tokens [n_q, T] -> per-segment [n_seg, n_q, S]
+    segs = np.stack([tokens[:, s * S:(s + 1) * S] for s in range(n_seg)])
 
-    # ---- encode: one teacher-forced apply per segment ----
+    # ---- encode: one batched apply per timestep, teacher-forced prefix ----
     enc = ArithmeticEncoder()
     n_symbols = 0
-    for s in range(n_seg):
-        seg = tokens[:, s * S:(s + 1) * S]
-        probs = np.asarray(lm_probs(jnp.asarray(seg_inputs(seg))),
-                           np.float64)                   # [card, n_q, S]
-        for t in range(S):
+    inputs = np.zeros((Bp, n_q, S), np.int64)            # 0 = missing
+    for t in range(S):
+        probs = np.asarray(lm_probs_at(jnp.asarray(inputs), t),
+                           np.float64)                   # [Bp, card, n_q]
+        for s in range(n_seg):
             for q in range(n_q):
-                cdf = quantize_cdf(probs[:, q, t])
-                enc.encode(cdf, int(seg[q, t]))
+                cdf = quantize_cdf(probs[s, :, q])
+                enc.encode(cdf, int(segs[s, q, t]))
                 n_symbols += 1
+        if t + 1 < S:
+            inputs[:n_seg, :, t + 1] = segs[:, :, t] + 1
     data = enc.finish()
 
     # ---- decode: same compiled fn on the growing decoded prefix ----
     dec = ArithmeticDecoder(data)
-    decoded = np.zeros_like(tokens)
-    for s in range(n_seg):
-        inputs = np.zeros((1, n_q, S), np.int64)         # 0 = missing
-        for t in range(S):
-            probs = np.asarray(lm_probs(jnp.asarray(inputs)), np.float64)
+    dec_segs = np.zeros_like(segs)
+    inputs = np.zeros((Bp, n_q, S), np.int64)
+    for t in range(S):
+        probs = np.asarray(lm_probs_at(jnp.asarray(inputs), t), np.float64)
+        for s in range(n_seg):
             for q in range(n_q):
-                cdf = quantize_cdf(probs[:, q, t])
-                decoded[q, s * S + t] = dec.decode(cdf)
-            if t + 1 < S:
-                inputs[0, :, t + 1] = decoded[:, s * S + t] + 1
+                cdf = quantize_cdf(probs[s, :, q])
+                dec_segs[s, q, t] = dec.decode(cdf)
+        if t + 1 < S:
+            inputs[:n_seg, :, t + 1] = dec_segs[:, :, t] + 1
 
-    exact = bool((decoded == tokens).all())
+    exact = bool((dec_segs == segs).all())
     bits = len(data) * 8
     bits_per_token = bits / n_symbols
     raw_bits = math.log2(card)

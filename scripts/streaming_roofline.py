@@ -282,9 +282,15 @@ def probe_conv_shapes(enc_dec, wav, ce, cd, iters=200, K=16):
                                            length=iters)[0])
         c = f(jnp.float32(0.0))
         jax.block_until_ready(c)
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(jnp.float32(0.0)))
-        per_iter_us = (time.perf_counter() - t0) / iters * 1e6
+        # median of 3 timed reps: a single rep is vulnerable to remote-
+        # tunnel stalls (round 4 recorded one 159 s stall inside a timed
+        # window, inflating a 16 us conv to a reported 49.9 ms)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(jnp.float32(0.0)))
+            reps.append(time.perf_counter() - t0)
+        per_iter_us = sorted(reps)[1] / iters * 1e6
         conv_us = max(per_iter_us - intercept_us, 0.0) / K
         # analytic flops of this signature
         cin_per_g = rshape[dn.rhs_spec[1]]

@@ -459,3 +459,40 @@ def test_fam_mode_joint_falls_back_with_update_ratio(trainer, rng):
     assert not bool(aux["do_d"])
     for leaf in jax.tree.leaves(aux["d_grads"]):
         assert float(np.abs(np.asarray(leaf)).max()) == 0.0
+
+
+@pytest.mark.parametrize("remat", ["disc", "gen", "mel", "all"])
+@pytest.mark.slow
+def test_remat_equivalence(trainer, rng, remat):
+    """`train.remat` only changes WHEN forwards are recomputed
+    (jax.checkpoint residual policy), never the math — same losses and
+    same G/D grads as the store-everything step, to fp tolerance."""
+    import dataclasses
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    hop = trainer.model.hop_length
+    wav = jnp.asarray(
+        (rng.standard_normal((2, 1, hop * 128)) * 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    ref = jax.jit(trainer.compute_grads)(state, wav, key)
+    alt_tr = dataclasses.replace(trainer, remat=remat)
+    alt = jax.jit(alt_tr.compute_grads)(state, wav, key)
+
+    for k in ref["losses"]:
+        np.testing.assert_allclose(float(alt["losses"][k]),
+                                   float(ref["losses"][k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(float(alt["d_loss"]), float(ref["d_loss"]),
+                               rtol=1e-5, atol=1e-6)
+
+    def cmp(a, b, what):
+        fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(fa) == len(fb), what
+        for x, y in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-4, atol=2e-6, err_msg=what)
+
+    cmp(alt["g_grads"], ref["g_grads"], f"g_grads[remat={remat}]")
+    cmp(alt["d_grads"], ref["d_grads"], f"d_grads[remat={remat}]")
+    cmp(alt["new_vq_state"], ref["new_vq_state"], "vq_state")
+    assert bool(alt["do_d"]) == bool(ref["do_d"])
