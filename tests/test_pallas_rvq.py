@@ -99,3 +99,44 @@ def test_streaming_encode_with_pallas_kernel_matches_scan(rng):
 
     np.testing.assert_array_equal(np.asarray(tok_pl), np.asarray(tok_xla))
     assert tok_pl.shape == (4, B, L)
+
+
+def test_pallas_staged_matches_scan(rng):
+    """The staged-grid variant (one codebook per grid step, residual in a
+    persistent VMEM scratch — used when the [n_q, K, C] stack exceeds
+    scoped-VMEM residency, e.g. encodec n_q=32) must be token-bit-exact
+    with both the resident kernel and the XLA scan path."""
+    from hilcodec_tpu.ops import rvq as Q
+    from hilcodec_tpu.ops.pallas_rvq import quantize_pallas
+
+    n_q, K, C = 6, 64, 16
+    books = jax.random.normal(jax.random.PRNGKey(0), (n_q, K, C))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 100, C)) * 2
+
+    ref = Q.quantize(x, books)
+    staged = quantize_pallas(x, books, interpret=True, staged=True)
+    resident = quantize_pallas(x, books, interpret=True, staged=False)
+    np.testing.assert_array_equal(np.asarray(staged), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(resident), np.asarray(ref))
+
+
+def test_pallas_staged_partial_n(rng):
+    """staged honors n < n_q (bandwidth dropout at eval)."""
+    from hilcodec_tpu.ops import rvq as Q
+    from hilcodec_tpu.ops.pallas_rvq import quantize_pallas
+
+    books = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 40, 8))
+    ref = Q.quantize(x, books, 3)
+    out = quantize_pallas(x, books, 3, interpret=True, staged=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_auto_stages_large_stacks():
+    """The dispatcher picks staged automatically above the residency
+    threshold (the encodec n_q=32, K=1024, C=128 stack is 16.8 MB, over
+    the 16 MB scoped-VMEM limit it OOM'd on at eval -n 32)."""
+    from hilcodec_tpu.ops.pallas_rvq import _RESIDENT_BYTES_MAX
+
+    assert 32 * 1024 * 128 * 4 > _RESIDENT_BYTES_MAX      # encodec n=32
+    assert 8 * 1024 * 128 * 4 <= _RESIDENT_BYTES_MAX      # hilcodec n=8
