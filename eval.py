@@ -66,18 +66,25 @@ def score_pair(ref, deg, sr, metrics):
     from scipy.signal import resample_poly
 
     from hilcodec_tpu.train.metrics import (_RESAMPLE_RATES, _pesq_backend,
-                                            measure_visqol, stoi)
+                                            mcd, measure_visqol, sisdr, stoi)
     n = min(len(ref), len(deg))
     ref, deg = ref[:n], deg[:n]
     out = {}
     for name in metrics:
         sr_t = _RESAMPLE_RATES[name]
-        g = math.gcd(sr, sr_t)
-        r_t = resample_poly(ref, sr_t // g, sr // g)
-        d_t = resample_poly(deg, sr_t // g, sr // g)
+        if sr_t is None:
+            r_t, d_t, sr_t = ref, deg, sr
+        else:
+            g = math.gcd(sr, sr_t)
+            r_t = resample_poly(ref, sr_t // g, sr // g)
+            d_t = resample_poly(deg, sr_t // g, sr // g)
         try:
             if name == "stoi":
                 out[name] = float(stoi(r_t, d_t, sr_t))
+            elif name == "sisdr":
+                out[name] = float(sisdr(r_t, d_t))
+            elif name == "mcd":
+                out[name] = float(mcd(r_t, d_t, sr_t))
             elif name == "pesq":
                 out[name] = float(_pesq_backend(r_t, d_t, sr_t))
             else:
@@ -97,8 +104,9 @@ def main():
     p.add_argument("-c", "--config", default=None)
     p.add_argument("--ckpt", default=None)
     p.add_argument("-n", "--num_quantizers", type=int, default=None)
-    p.add_argument("-m", "--metrics", default="pesq,stoi",
-                   help="comma list of pesq,stoi,visqol,visqol_audio")
+    p.add_argument("-m", "--metrics", default="pesq,stoi,sisdr,mcd",
+                   help="comma list of pesq,stoi,sisdr,mcd,visqol,"
+                        "visqol_audio")
     p.add_argument("--sr", type=int, default=None,
                    help="sample rate override (default: config or wav)")
     p.add_argument("--max-files", type=int, default=None)
@@ -109,7 +117,7 @@ def main():
     p.add_argument("-v", "--verbose", action="store_true")
     ns = p.parse_args()
     metrics = [m.strip() for m in ns.metrics.split(",") if m.strip()]
-    known = ("pesq", "stoi", "visqol", "visqol_audio")
+    known = ("pesq", "stoi", "sisdr", "mcd", "visqol", "visqol_audio")
     bad = [m for m in metrics if m not in known]
     if bad:
         sys.exit(f"error: unknown metric(s) {bad}; choose from {known}")

@@ -124,6 +124,68 @@ def _overlap_add(frames: np.ndarray, hop: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# SI-SDR and mel-cepstral distortion — pure numpy, always available
+# (round-4 additions: the reference's metric layer is PESQ/STOI/ViSQOL,
+# but two of those backends cannot exist in this env; these two close the
+# "STOI-only evidence" gap with fully in-env reference-free formulas)
+# ---------------------------------------------------------------------------
+
+def sisdr(clean: np.ndarray, processed: np.ndarray) -> float:
+    """Scale-invariant SDR in dB (Le Roux et al. 2019, eq. 5).
+
+    Zero-mean both, project `processed` onto `clean`, and compare the
+    target projection against the residual. Invariant to rescaling of
+    `processed` by construction."""
+    m = min(len(clean), len(processed))
+    s = clean[:m].astype(np.float64)
+    x = processed[:m].astype(np.float64)
+    s = s - s.mean()
+    x = x - x.mean()
+    alpha = np.dot(x, s) / (np.dot(s, s) + 1e-12)
+    target = alpha * s
+    err = x - target
+    return float(10.0 * np.log10(
+        (np.dot(target, target) + 1e-12) / (np.dot(err, err) + 1e-12)))
+
+
+def _mel_cepstra(x: np.ndarray, sr: int, n_fft: int, hop: int,
+                 n_mels: int, n_mcep: int) -> np.ndarray:
+    """log-mel spectrogram -> DCT-II cepstra [frames, n_mcep+1]."""
+    from scipy.fftpack import dct
+
+    from ..ops.mel import mel_filterbank
+    w = np.hanning(n_fft + 1)[:-1]
+    n = max(1 + (len(x) - n_fft) // hop, 1)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    idx = np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]
+    spec = np.abs(np.fft.rfft(x[idx] * w, axis=-1)) ** 2
+    fb = mel_filterbank(sr, n_fft, n_mels).astype(np.float64)
+    logmel = np.log10(spec @ fb.T + 1e-10)
+    # 80 dB dynamic-range clamp below the utterance's own peak (librosa
+    # top_db convention): keeps empty bands / silence from dominating the
+    # distortion, and makes MCD exactly gain-invariant (the clamp level
+    # shifts with the signal, so a pure gain is a constant log-mel shift
+    # absorbed entirely by the excluded c0)
+    logmel = np.maximum(logmel, logmel.max() - 8.0)
+    return dct(logmel, type=2, axis=-1, norm="ortho")[:, : n_mcep + 1]
+
+
+def mcd(clean: np.ndarray, processed: np.ndarray, sr: int = 16000,
+        n_mcep: int = 13) -> float:
+    """Mel-cepstral distortion in dB (Kubichek 1993), frame-aligned
+    (no DTW — codec reconstruction is time-aligned by construction),
+    c0 (loudness) excluded: MCD = (10*sqrt(2)/ln 10) * mean_t ||dc_t||."""
+    n_fft, hop, n_mels = 1024, 256, 80
+    m = min(len(clean), len(processed))
+    cr = _mel_cepstra(clean[:m], sr, n_fft, hop, n_mels, n_mcep)
+    cd = _mel_cepstra(processed[:m], sr, n_fft, hop, n_mels, n_mcep)
+    diff = cr[:, 1:] - cd[:, 1:]
+    frame_d = np.sqrt((diff ** 2).sum(axis=1))
+    return float((10.0 * math.sqrt(2.0) / math.log(10.0)) * frame_d.mean())
+
+
+# ---------------------------------------------------------------------------
 # optional backends
 # ---------------------------------------------------------------------------
 
@@ -191,7 +253,15 @@ def measure_visqol(ref: np.ndarray, deg: np.ndarray, sr: int,
 # ---------------------------------------------------------------------------
 
 _RESAMPLE_RATES = {"pesq": 16000, "stoi": 10000, "visqol": 16000,
-                   "visqol_audio": 48000}
+                   "visqol_audio": 48000, "sisdr": None, "mcd": 16000}
+
+# metrics where smaller is better (best-tracking flips the comparison)
+_LOWER_IS_BETTER = {"mcd"}
+
+# metrics computed inline on the calling thread (pure numpy, no pool):
+# stoi per the reference's hang-bug workaround; sisdr/mcd because they
+# are cheap closed-form numpy
+_INLINE = {"stoi", "sisdr", "mcd"}
 
 
 class Metrics:
@@ -221,7 +291,7 @@ class Metrics:
         self._futures = []
         self._inline = {k: [] for k in self.enabled}
         self._index = 0
-        if (self.enabled - {"stoi"}) and self._executor is None:
+        if (self.enabled - _INLINE) and self._executor is None:
             self._executor = ProcessPoolExecutor(self.num_workers)
 
     def submit(self, wav_r: np.ndarray, wav_g: np.ndarray) -> None:
@@ -236,13 +306,20 @@ class Metrics:
             r, g = wav_r[b], wav_g[b]
             for name in self.enabled:
                 sr_t = _RESAMPLE_RATES[name]
-                gcd = math.gcd(self.sampling_rate, sr_t)
-                r_t = resample_poly(r, sr_t // gcd,
-                                    self.sampling_rate // gcd)
-                g_t = resample_poly(g, sr_t // gcd,
-                                    self.sampling_rate // gcd)
+                if sr_t is None:        # rate-agnostic metric
+                    r_t, g_t, sr_t = r, g, self.sampling_rate
+                else:
+                    gcd = math.gcd(self.sampling_rate, sr_t)
+                    r_t = resample_poly(r, sr_t // gcd,
+                                        self.sampling_rate // gcd)
+                    g_t = resample_poly(g, sr_t // gcd,
+                                        self.sampling_rate // gcd)
                 if name == "stoi":      # inline (hang-bug workaround)
                     self._inline["stoi"].append(stoi(r_t, g_t, sr_t))
+                elif name == "sisdr":   # pure numpy, inline
+                    self._inline["sisdr"].append(sisdr(r_t, g_t))
+                elif name == "mcd":
+                    self._inline["mcd"].append(mcd(r_t, g_t, sr_t))
                 elif name == "pesq":
                     self._futures.append(("pesq", self._executor.submit(
                         _pesq_backend, r_t, g_t, sr_t)))
@@ -270,7 +347,10 @@ class Metrics:
             if reduce_fn is not None:
                 mean = reduce_fn(mean, len(vals))
             out[name] = mean
-            if name not in self.best or mean > self.best[name]:
+            better = (mean < self.best.get(name, math.inf)
+                      if name in _LOWER_IS_BETTER
+                      else mean > self.best.get(name, -math.inf))
+            if better:
                 self.best[name] = mean
         self._futures = []
         self._inline = {}

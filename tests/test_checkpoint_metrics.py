@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from hilcodec_tpu.train.grad_clip import (clip_grad_norm_global,
                                           clip_grad_norm_local,
                                           clip_grad_value, make_clipper)
-from hilcodec_tpu.train.metrics import Metrics, stoi
+from hilcodec_tpu.train.metrics import Metrics, mcd, sisdr, stoi
 from hilcodec_tpu.utils.checkpoint import (clean_checkpoints,
                                            latest_checkpoint,
                                            load_checkpoint, save_checkpoint)
@@ -198,6 +198,64 @@ def test_stoi_independent_transcription_oracle(rng):
         got = stoi(clean, deg, sr)
         assert abs(got - want) < 5e-4, (i, got, want)
         assert 0.3 < got <= 1.0, (i, got)
+
+
+def test_sisdr_analytic():
+    """With zero-mean signal s and orthogonal zero-mean noise n, the
+    projection coefficient is exactly 1, so
+    SI-SDR(s, s+n) = 10 log10(||s||^2 / ||n||^2) in closed form."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    s = np.sin(2 * np.pi * 200 * t)          # zero-mean over whole periods
+    n = 0.1 * np.cos(2 * np.pi * 200 * t)    # orthogonal to s, zero-mean
+    want = 10.0 * np.log10(np.dot(s, s) / np.dot(n, n))
+    got = sisdr(s, s + n)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # scale invariance in the estimate argument (Le Roux 2019, sec. 2.2)
+    np.testing.assert_allclose(sisdr(s, 2.5 * (s + n)), got, atol=1e-6)
+    # identity saturates at the eps floor, far above any codec score
+    assert sisdr(s, s) > 100.0
+
+
+def test_mcd_identity_gain_invariance_and_monotonicity(rng):
+    sr = 16000
+    t = np.arange(sr) / sr
+    clean = sum(np.sin(2 * np.pi * 220 * k * t) / k for k in range(1, 5))
+    clean = clean.astype(np.float32)
+    assert mcd(clean, clean, sr) == 0.0
+    # c0 is excluded and the 80 dB clamp tracks the signal's own peak, so
+    # a pure gain (a constant shift of clamped log-mel) is exactly free —
+    # on the sparse harmonic signal too, where empty bands sit on the clamp
+    # (tolerance 1e-4 dB, not exact: bands within the log epsilon of the
+    # clamp boundary can flip membership between the two gains)
+    assert mcd(clean, 0.5 * clean, sr) < 1e-4
+    broad = rng.standard_normal(len(t)).astype(np.float32)
+    assert mcd(broad, 0.5 * broad, sr) < 1e-4
+    d_small = mcd(clean, clean + 0.01
+                  * rng.standard_normal(len(t)).astype(np.float32), sr)
+    d_big = mcd(clean, clean + 0.2
+                * rng.standard_normal(len(t)).astype(np.float32), sr)
+    assert 0 < d_small < d_big
+
+
+def test_metrics_pipeline_sisdr_mcd_inline(rng):
+    """sisdr/mcd run inline (no process pool) and mcd best-tracking keeps
+    the minimum, not the maximum."""
+    m = Metrics({"sisdr": True, "mcd": True}, sampling_rate=24000)
+    t = np.arange(48000) / 24000
+    clean = np.sin(2 * np.pi * 300 * t).astype(np.float32)[None]
+    outs = []
+    for noise in (0.2, 0.02):   # second round is strictly better
+        m.initialize()
+        assert m._executor is None      # both metrics are inline
+        noisy = clean + noise * rng.standard_normal(
+            clean.shape).astype(np.float32)
+        m.submit(clean, noisy)
+        outs.append(m.retrieve())
+    assert outs[1]["sisdr"] > outs[0]["sisdr"]
+    assert outs[1]["mcd"] < outs[0]["mcd"]
+    assert m.best["sisdr"] == outs[1]["sisdr"]
+    assert m.best["mcd"] == outs[1]["mcd"]
 
 
 def test_metrics_pipeline_stoi_only(rng):
