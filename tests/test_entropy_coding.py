@@ -147,3 +147,45 @@ def test_streaming_encoder_decoder_objects(rng):
     dec = ArithmeticDecoder(data)
     got = [dec.decode(cdf) for _ in range(100)]
     np.testing.assert_array_equal(got, syms)
+
+
+def test_hilstream_container_roundtrip(rng):
+    """utils/bitstream.py: the self-describing container preserves every
+    header field and the payload byte-for-byte, and rejects corruption."""
+    from hilcodec_tpu.utils.bitstream import (HEADER_BYTES, pack_hilstream,
+                                              unpack_hilstream)
+    payload = bytes(rng.integers(0, 256, 199, dtype=np.uint8))
+    meta = dict(n_q=8, card=1024, seg_tokens=150, n_seg=12,
+                sampling_rate=24000, hop=320, lm_dim=200, lm_heads=8,
+                lm_layers=5)
+    blob = pack_hilstream(payload, **meta)
+    assert len(blob) == HEADER_BYTES + len(payload)
+    got, got_payload = unpack_hilstream(blob)
+    assert got_payload == payload
+    assert got.pop("version") == 1
+    assert got == meta
+
+    with pytest.raises(ValueError, match="magic"):
+        unpack_hilstream(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        unpack_hilstream(blob[: HEADER_BYTES - 1])
+    with pytest.raises(ValueError, match="version"):
+        unpack_hilstream(blob[:4] + bytes([99]) + blob[5:])
+    with pytest.raises(ValueError, match="missing"):
+        pack_hilstream(payload, n_q=8)
+    with pytest.raises(ValueError, match="unknown"):
+        pack_hilstream(payload, bogus=1, **meta)
+
+
+def test_hilstream_file_io(tmp_path, rng):
+    from hilcodec_tpu.utils.bitstream import (read_hilstream,
+                                              write_hilstream)
+    payload = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    path = str(tmp_path / "s.hilstream")
+    n = write_hilstream(path, payload, n_q=3, card=32, seg_tokens=8,
+                        n_seg=4, sampling_rate=16000, hop=64, lm_dim=16,
+                        lm_heads=4, lm_layers=1)
+    import os
+    assert os.path.getsize(path) == n
+    meta, got = read_hilstream(path)
+    assert got == payload and meta["card"] == 32

@@ -101,7 +101,28 @@ def test_entropy_code_cli_roundtrip(tmp_path, monkeypatch, capsys, rng):
     assert out["roundtrip_exact"] is True
     assert out["tokens"] == 32 * 3 * 8       # n_seg * n_q * S
     assert out["raw_bits_per_token"] == 5.0  # log2(32)
-    # an untrained LM is ~uniform: bits/token near raw, and the stream
-    # must actually exist with the reported byte count
+    # an untrained LM is ~uniform: bits/token near raw, and the container
+    # must exist: 24-byte header + the reported payload bytes
     assert 0.0 < out["bits_per_token"] < 8.0
-    assert os.path.getsize(stream) == out["stream_bytes"]
+    from hilcodec_tpu.utils.bitstream import HEADER_BYTES, read_hilstream
+    assert os.path.getsize(stream) == out["stream_bytes"] + HEADER_BYTES
+    assert os.path.getsize(stream) == out["file_bytes"]
+    meta, payload = read_hilstream(stream)
+    assert (meta["n_q"], meta["card"], meta["seg_tokens"],
+            meta["n_seg"]) == (3, 32, 8, 32)
+    assert len(payload) == out["stream_bytes"]
+
+    # ---- standalone decode: a SEPARATE CLI invocation that shares only
+    # the .hilstream file + the two checkpoints with the encoder ----
+    out_wav = str(tmp_path / "decoded.wav")
+    monkeypatch.setattr(sys, "argv", [
+        "entropy_code.py", "-c", str(cfg), "--ckpt", ckpt, "--lm", lm_ckpt,
+        "--decode", stream, "--out-wav", out_wav])
+    runpy.run_path("scripts/entropy_code.py", run_name="__main__")
+    dec = json.loads([l for l in capsys.readouterr().out.splitlines()
+                      if l.startswith("{")][-1])
+    assert dec["tokens"] == out["tokens"]
+    assert dec["stream_bytes"] == out["stream_bytes"]
+    from hilcodec_tpu.utils.wavio import read_wav
+    wav_dec, sr_dec = read_wav(out_wav)
+    assert sr_dec == 24000 and len(wav_dec) == 2048  # n_seg * S * hop
