@@ -77,7 +77,7 @@ def _rvq_staged_kernel(x_ref, book_ref, idx_ref, r_ref, *,
             - 2.0 * jnp.dot(r, e.T, preferred_element_type=jnp.float32)
             + jnp.sum(e * e, axis=1)[None, :])              # [TM, K]
     idx = jnp.argmin(dist, axis=1).astype(jnp.int32)        # [TM]
-    idx_ref[0, :] = idx
+    idx_ref[0, 0, :] = idx
     onehot = (lanes == idx[:, None]).astype(jnp.float32)
     q = jnp.dot(onehot, e, precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
@@ -121,9 +121,15 @@ def quantize_pallas(x: jnp.ndarray, codebooks: jnp.ndarray,
         staged = n_q * K * C * 4 > _RESIDENT_BYTES_MAX
     if staged:
         kernel = functools.partial(_rvq_staged_kernel, codebook_size=K)
+        # the stage axis rides as a leading size-1 block dim: Mosaic
+        # requires the LAST TWO block dims to be (8,128)-divisible or
+        # full-extent, so a (1, block_m) block over [n_q, Mp] is illegal
+        # while (1, 1, block_m) over [n_q, 1, Mp] is fine: the size-1
+        # middle dim is full-extent, and the default block_m is either
+        # == Mp (full extent, M <= 512) or 512 (128-divisible).
         idx = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_q, Mp), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_q, 1, Mp), jnp.int32),
             grid=(Mp // block_m, n_q),
             in_specs=[
                 pl.BlockSpec((block_m, C), lambda i, k: (i, 0),
@@ -131,11 +137,12 @@ def quantize_pallas(x: jnp.ndarray, codebooks: jnp.ndarray,
                 pl.BlockSpec((1, K, C), lambda i, k: (k, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_m), lambda i, k: (k, i),
+            out_specs=pl.BlockSpec((1, 1, block_m), lambda i, k: (k, 0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((block_m, C), jnp.float32)],
             interpret=interpret,
         )(flat, codebooks[:n_q])
+        idx = idx[:, 0]
     else:
         kernel = functools.partial(_rvq_kernel, n_q=n_q, codebook_size=K)
         idx = pl.pallas_call(
