@@ -1,0 +1,255 @@
+"""Slot-batched streaming serving engine.
+
+The deployment story the reference stops short of: its `test_onnx.py`
+(/root/reference/test_onnx.py:28-66) benchmarks ONE stream per ONNX session
+per CPU core, so a serving fleet is "one process per stream". On TPU the
+measured throughput sweet spot is the *batched* frame program (128 streams
+≈ 1712x real-time on one v5e chip, BASELINE.md), so the natural server is a
+single resident compiled frame step over a fixed batch of S **slots**, with
+live client streams mapped onto slot rows:
+
+  * attach  -> claim a free slot row; its cache rows are re-initialized
+               *inside the next compiled step* (a masked select against the
+               init cache), so no host<->device cache surgery ever happens;
+  * frame   -> at most one pending frame per slot joins the next step;
+               slots with nothing pending run on zero input and a masked
+               select keeps their cache rows byte-identical (a stream that
+               skips a tick does NOT advance — stream state is exact);
+  * detach  -> the slot returns to the free list; the next occupant's
+               reset masks away whatever state the previous stream left.
+
+Everything device-side is ONE jitted function per mode (encode / decode /
+roundtrip) with donated cache buffers: per tick the host uploads the
+[S, 1, hop] frame batch + two boolean masks and downloads tokens/PCM.
+Token/PCM outputs for active slots are bitwise identical to running each
+stream alone through `encode_stream`/`decode_stream` (the stream==batch
+property of every layer, plus exact masked cache selects) — pinned by
+tests/test_serve.py.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _rowmask(mask: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a [S] bool mask over a cache array's leading slot dim."""
+    return mask.reshape((mask.shape[0],) + (1,) * (c.ndim - 1))
+
+
+@dataclass
+class _Batch:
+    """One tick's worth of work, snapshotted by collect()."""
+    x: np.ndarray                 # [S, 1, hop] f32 (or [n_q, S, 1] i32)
+    active: List[int]             # slots with a real frame this tick
+    active_mask: np.ndarray       # [S] bool
+    reset_mask: np.ndarray        # [S] bool
+    seq: Dict[int, int] = field(default_factory=dict)
+
+
+class SlotEngine:
+    """S-slot streaming codec engine around one compiled frame step.
+
+    mode: "roundtrip" (PCM in -> tokens + PCM out), "encode" (PCM in ->
+    tokens out), "decode" (tokens in -> PCM out).  `n` pins the quantizer
+    count (bandwidth); None = the model's full stack.
+    """
+
+    def __init__(self, model, params, vq_state, *, slots: int = 8,
+                 n: Optional[int] = None, mode: str = "roundtrip",
+                 fold: bool = True, dtype=jnp.float32,
+                 max_queue: int = 1024):
+        assert mode in ("roundtrip", "encode", "decode"), mode
+        self.model = model
+        self.mode = mode
+        self.slots = slots
+        self.n = n
+        self.hop = model.hop_length
+        self.n_q = n if n is not None else model.vq.num_quantizers
+        self.max_queue = max_queue
+        if fold and hasattr(model, "fold_params"):
+            params = model.fold_params(params)
+        self._params = params
+        self._vq_state = dict(vq_state)
+
+        need_enc = mode in ("roundtrip", "encode")
+        need_dec = mode in ("roundtrip", "decode")
+        ce, cd = model.init_cache(slots, dtype)
+        ce1, cd1 = model.init_cache(1, dtype)
+        self._cache_enc = ce if need_enc else []
+        self._cache_dec = cd if need_dec else []
+        # per-slot init rows, broadcast to [S, ...] once and closed over by
+        # the step so attach-resets are a free masked select (init_cache is
+        # zeros today, but this stays correct if a layer ever inits nonzero)
+        self._init_enc = [jnp.broadcast_to(c, (slots,) + c.shape[1:])
+                          for c in ce1] if need_enc else []
+        self._init_dec = [jnp.broadcast_to(c, (slots,) + c.shape[1:])
+                          for c in cd1] if need_dec else []
+
+        self._step = self._build_step()
+
+        # host state — mutated only under _lock (collect/attach/detach);
+        # run() touches device caches only, serialized by the tick owner
+        self._lock = threading.Lock()
+        self._free = list(range(slots - 1, -1, -1))
+        self._queues: Dict[int, collections.deque] = {}
+        self._to_reset: set = set()
+        self._seq: Dict[int, int] = {}
+        self.stats = {"ticks": 0, "frames": 0, "tick_s_sum": 0.0,
+                      "tick_s_max": 0.0}
+
+    # ---------------------------------------------------------- device side
+
+    def _build_step(self):
+        model, n = self.model, self.n
+        params, vq_state = self._params, self._vq_state
+        init_enc, init_dec = self._init_enc, self._init_dec
+        mode = self.mode
+
+        def reset_rows(cache, inits, reset_m):
+            return [jnp.where(_rowmask(reset_m, c), i, c)
+                    for c, i in zip(cache, inits)]
+
+        def hold_rows(new, old, active_m):
+            return [jnp.where(_rowmask(active_m, cn), cn, co)
+                    for cn, co in zip(new, old)]
+
+        if mode == "roundtrip":
+            def step(x, active_m, reset_m, cache_enc, cache_dec):
+                ce0 = reset_rows(cache_enc, init_enc, reset_m)
+                cd0 = reset_rows(cache_dec, init_dec, reset_m)
+                tok, wav, ce, cd = model.encode_decode_stream(
+                    params, vq_state, x, ce0, cd0, n=n)
+                return (tok.astype(jnp.int32), wav,
+                        hold_rows(ce, ce0, active_m),
+                        hold_rows(cd, cd0, active_m))
+            return jax.jit(step, donate_argnums=(3, 4))
+
+        if mode == "encode":
+            def step(x, active_m, reset_m, cache_enc):
+                ce0 = reset_rows(cache_enc, init_enc, reset_m)
+                tok, ce = model.encode_stream(params, vq_state, x, ce0, n=n)
+                return tok.astype(jnp.int32), hold_rows(ce, ce0, active_m)
+            return jax.jit(step, donate_argnums=(3,))
+
+        def step(tok, active_m, reset_m, cache_dec):
+            cd0 = reset_rows(cache_dec, init_dec, reset_m)
+            wav, cd = model.decode_stream(params, vq_state, tok, cd0)
+            return wav, hold_rows(cd, cd0, active_m)
+        return jax.jit(step, donate_argnums=(3,))
+
+    # ------------------------------------------------------------ host side
+
+    def attach(self) -> int:
+        """Claim a slot; its cache rows reset inside the next tick."""
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(f"all {self.slots} slots busy")
+            slot = self._free.pop()
+            self._queues[slot] = collections.deque()
+            self._to_reset.add(slot)
+            self._seq[slot] = 0
+            return slot
+
+    def detach(self, slot: int) -> None:
+        with self._lock:
+            self._queues.pop(slot, None)
+            self._to_reset.discard(slot)
+            self._seq.pop(slot, None)
+            if slot not in self._free:
+                self._free.append(slot)
+
+    def submit(self, slot: int, frame: np.ndarray) -> None:
+        """Queue one frame. encode/roundtrip: [hop] f32 PCM.
+        decode: [n_q] int tokens."""
+        with self._lock:
+            q = self._queues.get(slot)
+            if q is None:
+                raise KeyError(f"slot {slot} not attached")
+            if len(q) >= self.max_queue:
+                raise RuntimeError(f"slot {slot} queue over {self.max_queue}")
+            q.append(np.asarray(frame))
+
+    def pending(self) -> bool:
+        with self._lock:
+            return any(self._queues.values()) or bool(self._to_reset)
+
+    def collect(self) -> Optional[_Batch]:
+        """Snapshot <=1 frame per slot + pending resets for one tick."""
+        with self._lock:
+            if not (any(self._queues.values()) or self._to_reset):
+                return None
+            active, frames = [], {}
+            for slot, q in self._queues.items():
+                if q:
+                    active.append(slot)
+                    frames[slot] = q.popleft()
+            reset_m = np.zeros(self.slots, bool)
+            for slot in self._to_reset:
+                reset_m[slot] = True
+            self._to_reset.clear()
+            seq = {s: self._seq[s] for s in active}
+            for s in active:
+                self._seq[s] += 1
+        active_m = np.zeros(self.slots, bool)
+        active_m[active] = True
+        if self.mode == "decode":
+            x = np.zeros((self.n_q, self.slots, 1), np.int32)
+            for s in active:
+                x[:, s, 0] = frames[s]
+        else:
+            x = np.zeros((self.slots, 1, self.hop), np.float32)
+            for s in active:
+                x[s, 0, :] = frames[s]
+        return _Batch(x=x, active=sorted(active), active_mask=active_m,
+                      reset_mask=reset_m, seq=seq)
+
+    def run(self, batch: _Batch) -> Dict[int, dict]:
+        """Execute one tick; returns {slot: {"tokens":..., "pcm":..., "seq":}}.
+        Must not run concurrently with itself (one tick owner)."""
+        t0 = time.perf_counter()
+        am = jnp.asarray(batch.active_mask)
+        rm = jnp.asarray(batch.reset_mask)
+        out: Dict[int, dict] = {}
+        if self.mode == "roundtrip":
+            tok, wav, self._cache_enc, self._cache_dec = self._step(
+                jnp.asarray(batch.x), am, rm,
+                self._cache_enc, self._cache_dec)
+            tok = np.asarray(tok)       # [n_q, S, 1]
+            wav = np.asarray(wav)       # [S, 1, hop]
+            for s in batch.active:
+                out[s] = {"tokens": tok[:, s, 0].astype(np.int16),
+                          "pcm": wav[s, 0], "seq": batch.seq[s]}
+        elif self.mode == "encode":
+            tok, self._cache_enc = self._step(
+                jnp.asarray(batch.x), am, rm, self._cache_enc)
+            tok = np.asarray(tok)
+            for s in batch.active:
+                out[s] = {"tokens": tok[:, s, 0].astype(np.int16),
+                          "seq": batch.seq[s]}
+        else:
+            wav, self._cache_dec = self._step(
+                jnp.asarray(batch.x), am, rm, self._cache_dec)
+            wav = np.asarray(wav)
+            for s in batch.active:
+                out[s] = {"pcm": wav[s, 0], "seq": batch.seq[s]}
+        dt = time.perf_counter() - t0
+        st = self.stats
+        st["ticks"] += 1
+        st["frames"] += len(batch.active)
+        st["tick_s_sum"] += dt
+        st["tick_s_max"] = max(st["tick_s_max"], dt)
+        return out
+
+    def tick(self) -> Dict[int, dict]:
+        batch = self.collect()
+        return self.run(batch) if batch is not None else {}

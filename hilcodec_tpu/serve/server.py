@@ -1,0 +1,198 @@
+"""Asyncio TCP front-end for the slot-batched serving engine.
+
+Wire protocol (little-endian, deliberately trivial — the reference's
+deployment surface is a per-process ONNX session with no transport at all,
+/root/reference/test_onnx.py:28-66):
+
+  1. client -> server: one JSON line, e.g. {"mode": "roundtrip"}.
+     "mode" must match the server's engine mode (or be omitted/"auto").
+  2. server -> client: one JSON line
+     {"ok": true, "slot": k, "hop": 320, "n_q": 8, "sr": 24000}
+     or {"ok": false, "error": "..."} and close.
+  3. frames, both directions: u32 length prefix + payload.
+       client payload:  encode/roundtrip = hop x int16 PCM;
+                        decode           = n_q x int16 tokens.
+       server payload:  encode    = n_q x int16 tokens;
+                        decode    = hop x int16 PCM;
+                        roundtrip = n_q int16 tokens || hop int16 PCM.
+     Responses come back in order, one per input frame.
+  4. client closes -> slot freed (the next occupant's masked reset wipes
+     any residual stream state).
+
+One background task owns the tick loop: it snapshots work on the event
+loop thread (engine.collect), runs the compiled step in a worker thread
+(so socket reads continue during device execution), and writes replies.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import struct
+from typing import Dict, Optional
+
+import numpy as np
+
+from .engine import SlotEngine
+
+_LEN = struct.Struct("<I")
+
+
+async def _read_frame(reader: asyncio.StreamReader) -> Optional[bytes]:
+    try:
+        head = await reader.readexactly(4)
+    except (asyncio.IncompleteReadError, ConnectionResetError):
+        return None
+    (ln,) = _LEN.unpack(head)
+    if ln > 1 << 20:
+        raise ValueError(f"frame length {ln} over 1 MiB")
+    try:
+        return await reader.readexactly(ln)
+    except (asyncio.IncompleteReadError, ConnectionResetError):
+        return None
+
+
+def _write_frame(writer: asyncio.StreamWriter, payload: bytes) -> None:
+    writer.write(_LEN.pack(len(payload)) + payload)
+
+
+class CodecServer:
+    """TCP server mapping client connections onto engine slots."""
+
+    def __init__(self, engine: SlotEngine, sr: int,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.sr = sr
+        self.host, self.port = host, port
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._wake = asyncio.Event()
+        self._writers: Dict[int, asyncio.StreamWriter] = {}
+        self._inflight: Dict[int, int] = {}   # frames submitted - replied
+        self._tick_task: Optional[asyncio.Task] = None
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port)
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._tick_task = asyncio.create_task(self._tick_loop())
+
+    async def stop(self) -> None:
+        if self._tick_task:
+            self._tick_task.cancel()
+            try:
+                await self._tick_task
+            except asyncio.CancelledError:
+                pass
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    # ------------------------------------------------------------ tick loop
+
+    async def _tick_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            await self._wake.wait()
+            self._wake.clear()
+            while True:
+                batch = self.engine.collect()
+                if batch is None:
+                    break
+                out = await loop.run_in_executor(None, self.engine.run,
+                                                 batch)
+                for slot, res in out.items():
+                    if slot in self._inflight:
+                        self._inflight[slot] -= 1
+                    w = self._writers.get(slot)
+                    if w is None or w.is_closing():
+                        continue
+                    if self.engine.mode == "roundtrip":
+                        payload = (res["tokens"].tobytes()
+                                   + _pcm16(res["pcm"]).tobytes())
+                    elif self.engine.mode == "encode":
+                        payload = res["tokens"].tobytes()
+                    else:
+                        payload = _pcm16(res["pcm"]).tobytes()
+                    _write_frame(w, payload)
+                for w in {self._writers[s] for s in out
+                          if s in self._writers}:
+                    try:
+                        await w.drain()
+                    except ConnectionResetError:
+                        pass
+
+    # ----------------------------------------------------------- connection
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        eng = self.engine
+        try:
+            hello = json.loads((await reader.readline()).decode())
+        except Exception:
+            writer.close()
+            return
+        mode = hello.get("mode", "auto")
+        if mode not in ("auto", eng.mode):
+            writer.write(json.dumps(
+                {"ok": False,
+                 "error": f"server mode is {eng.mode!r}"}).encode() + b"\n")
+            await writer.drain()
+            writer.close()
+            return
+        try:
+            slot = eng.attach()
+        except RuntimeError as e:
+            writer.write(json.dumps(
+                {"ok": False, "error": str(e)}).encode() + b"\n")
+            await writer.drain()
+            writer.close()
+            return
+        self._writers[slot] = writer
+        self._inflight[slot] = 0
+        writer.write(json.dumps(
+            {"ok": True, "slot": slot, "hop": eng.hop, "n_q": eng.n_q,
+             "sr": self.sr, "mode": eng.mode}).encode() + b"\n")
+        await writer.drain()
+        try:
+            while True:
+                payload = await _read_frame(reader)
+                if payload is None:
+                    break
+                if eng.mode == "decode":
+                    frame = np.frombuffer(payload, np.int16)[:eng.n_q]
+                    frame = frame.astype(np.int32)
+                else:
+                    pcm = np.frombuffer(payload, np.int16)[:eng.hop]
+                    frame = pcm.astype(np.float32) / 32768.0
+                eng.submit(slot, frame)
+                self._inflight[slot] += 1
+                self._wake.set()
+            # graceful close: let queued frames drain before detaching
+            while self._inflight.get(slot, 0) > 0:
+                self._wake.set()
+                await asyncio.sleep(0.005)
+        finally:
+            self._writers.pop(slot, None)
+            self._inflight.pop(slot, None)
+            eng.detach(slot)
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+
+def _pcm16(x: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+
+async def serve_forever(engine: SlotEngine, sr: int, host: str,
+                        port: int) -> None:
+    srv = CodecServer(engine, sr, host, port)
+    await srv.start()
+    print(f"serving mode={engine.mode} slots={engine.slots} "
+          f"n_q={engine.n_q} on {srv.host}:{srv.port}", flush=True)
+    try:
+        while True:
+            await asyncio.sleep(3600)
+    finally:
+        await srv.stop()

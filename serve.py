@@ -1,0 +1,64 @@
+"""Streaming codec server: N concurrent client streams share ONE resident
+compiled frame step over a fixed slot batch on the chip.
+
+The reference's deployment unit is one ONNX session per stream per CPU core
+(/root/reference/test_onnx.py); the TPU-native unit is the batched frame
+program (128 streams ~ 1712x real-time on one v5e, BASELINE.md), so serving
+means multiplexing client streams onto batch rows — see
+hilcodec_tpu/serve/engine.py for the slot/mask design.
+
+Usage:
+  python serve.py -c CONFIG [--ckpt CKPT] [--port P] [--slots S]
+                  [--mode roundtrip|encode|decode] [-n N_QUANTIZERS]
+
+Drive it with scripts/serve_load.py (load generator + latency report).
+"""
+
+import argparse
+import asyncio
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=0,
+                   help="0 = pick a free port (printed at startup)")
+    p.add_argument("--slots", type=int, default=16)
+    p.add_argument("--mode", default="roundtrip",
+                   choices=["roundtrip", "encode", "decode"])
+    p.add_argument("-n", "--num_quantizers", type=int, default=None)
+    ns = p.parse_args()
+
+    import jax
+
+    from hilcodec_tpu.models.registry import build_codec_model
+    from hilcodec_tpu.serve import SlotEngine, serve_forever
+    from hilcodec_tpu.utils.hparams import load_config
+
+    hps = load_config(ns.config)
+    model = build_codec_model(hps.get("model", "hilcodec"),
+                              hps.model_kwargs.to_dict())
+    params, vq_state = model.init(jax.random.PRNGKey(0))
+    vq_state = dict(vq_state)
+    if ns.ckpt:
+        from hilcodec_tpu.train.loop import build_trainer
+        from hilcodec_tpu.utils.checkpoint import load_checkpoint
+        trainer = build_trainer(hps)
+        state, _ = load_checkpoint(
+            ns.ckpt, trainer.init_state(jax.random.PRNGKey(0)))
+        params, vq_state = state.params_g, dict(state.vq_state)
+    else:
+        import jax.numpy as jnp
+        vq_state["embed"] = jax.random.normal(
+            jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
+
+    engine = SlotEngine(model, params, vq_state, slots=ns.slots,
+                        n=ns.num_quantizers, mode=ns.mode)
+    asyncio.run(serve_forever(engine, hps.data.sampling_rate,
+                              ns.host, ns.port))
+
+
+if __name__ == "__main__":
+    main()
