@@ -67,7 +67,11 @@ class SlotEngine:
     def __init__(self, model, params, vq_state, *, slots: int = 8,
                  n: Optional[int] = None, mode: str = "roundtrip",
                  fold: bool = True, dtype=jnp.float32,
-                 max_queue: int = 1024):
+                 max_queue: int = 1024, mesh=None):
+        """mesh: a 1-D `jax.sharding.Mesh` shards the slot axis across its
+        devices (streams are embarrassingly parallel — the step compiles to
+        per-chip programs with zero collectives, parallel/mesh.py
+        shard_streams). slots must divide evenly over the mesh."""
         assert mode in ("roundtrip", "encode", "decode"), mode
         self.model = model
         self.mode = mode
@@ -78,6 +82,17 @@ class SlotEngine:
         self.max_queue = max_queue
         if fold and hasattr(model, "fold_params"):
             params = model.fold_params(params)
+        self.mesh = mesh
+        self._slot_sh = self._tok_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            assert slots % mesh.devices.size == 0, (slots, mesh.devices.size)
+            self._slot_sh = NamedSharding(mesh, P(axis))
+            self._tok_sh = NamedSharding(mesh, P(None, axis))
+            from ..parallel.mesh import replicate
+            params = replicate(mesh, params)
+            vq_state = replicate(mesh, dict(vq_state))
         self._params = params
         self._vq_state = dict(vq_state)
 
@@ -85,6 +100,9 @@ class SlotEngine:
         need_dec = mode in ("roundtrip", "decode")
         ce, cd = model.init_cache(slots, dtype)
         ce1, cd1 = model.init_cache(1, dtype)
+        if mesh is not None:
+            ce = [jax.device_put(c, self._slot_sh) for c in ce]
+            cd = [jax.device_put(c, self._slot_sh) for c in cd]
         self._cache_enc = ce if need_enc else []
         self._cache_dec = cd if need_dec else []
         # per-slot init rows, broadcast to [S, ...] once and closed over by
@@ -217,13 +235,20 @@ class SlotEngine:
         """Execute one tick; returns {slot: {"tokens":..., "pcm":..., "seq":}}.
         Must not run concurrently with itself (one tick owner)."""
         t0 = time.perf_counter()
-        am = jnp.asarray(batch.active_mask)
-        rm = jnp.asarray(batch.reset_mask)
+        if self.mesh is not None:
+            am = jax.device_put(batch.active_mask, self._slot_sh)
+            rm = jax.device_put(batch.reset_mask, self._slot_sh)
+            x = jax.device_put(
+                batch.x,
+                self._tok_sh if self.mode == "decode" else self._slot_sh)
+        else:
+            am = jnp.asarray(batch.active_mask)
+            rm = jnp.asarray(batch.reset_mask)
+            x = jnp.asarray(batch.x)
         out: Dict[int, dict] = {}
         if self.mode == "roundtrip":
             tok, wav, self._cache_enc, self._cache_dec = self._step(
-                jnp.asarray(batch.x), am, rm,
-                self._cache_enc, self._cache_dec)
+                x, am, rm, self._cache_enc, self._cache_dec)
             tok = np.asarray(tok)       # [n_q, S, 1]
             wav = np.asarray(wav)       # [S, 1, hop]
             for s in batch.active:
@@ -231,14 +256,14 @@ class SlotEngine:
                           "pcm": wav[s, 0], "seq": batch.seq[s]}
         elif self.mode == "encode":
             tok, self._cache_enc = self._step(
-                jnp.asarray(batch.x), am, rm, self._cache_enc)
+                x, am, rm, self._cache_enc)
             tok = np.asarray(tok)
             for s in batch.active:
                 out[s] = {"tokens": tok[:, s, 0].astype(np.int16),
                           "seq": batch.seq[s]}
         else:
             wav, self._cache_dec = self._step(
-                jnp.asarray(batch.x), am, rm, self._cache_dec)
+                x, am, rm, self._cache_dec)
             wav = np.asarray(wav)
             for s in batch.active:
                 out[s] = {"pcm": wav[s, 0], "seq": batch.seq[s]}

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--mode", default="roundtrip",
                    choices=["roundtrip", "encode", "decode"])
     p.add_argument("-n", "--num_quantizers", type=int, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the slot axis over all local devices "
+                        "(slots must divide the device count)")
     ns = p.parse_args()
 
     import jax
@@ -54,8 +57,12 @@ def main():
         vq_state["embed"] = jax.random.normal(
             jax.random.PRNGKey(1), vq_state["embed"].shape, jnp.float32)
 
+    mesh = None
+    if ns.mesh:
+        from hilcodec_tpu.parallel.mesh import data_parallel_mesh
+        mesh = data_parallel_mesh()
     engine = SlotEngine(model, params, vq_state, slots=ns.slots,
-                        n=ns.num_quantizers, mode=ns.mode)
+                        n=ns.num_quantizers, mode=ns.mode, mesh=mesh)
     asyncio.run(serve_forever(engine, hps.data.sampling_rate,
                               ns.host, ns.port))
 

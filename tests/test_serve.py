@@ -146,6 +146,36 @@ def test_engine_decode_mode(tiny, rng):
                                rtol=0, atol=0)
 
 
+def test_engine_mesh_sharded_parity(tiny, rng):
+    """Slots sharded over the 8-device CPU mesh: per-stream outputs must
+    still equal the solo oracle bitwise — serving is embarrassingly
+    parallel over streams (zero collectives in the compiled step)."""
+    from hilcodec_tpu.parallel.mesh import data_parallel_mesh
+
+    model, params, vq_state = tiny
+    hop = model.hop_length
+    mesh = data_parallel_mesh()
+    eng = SlotEngine(model, params, vq_state, slots=8, mode="roundtrip",
+                     mesh=mesh)
+
+    wav = (rng.standard_normal(hop * 5) * 0.3).astype(np.float32)
+    ref_tok, ref_pcm = _stream_ref(model, params, vq_state, wav)
+    # occupy two slots on different devices; the second mirrors the first
+    s1, s2 = eng.attach(), eng.attach()
+    toks, pcms = [], []
+    for f in _frames(wav, hop):
+        eng.submit(s1, f)
+        eng.submit(s2, f)
+        out = eng.tick()
+        toks.append(out[s1]["tokens"])
+        pcms.append(out[s1]["pcm"])
+        np.testing.assert_array_equal(out[s2]["tokens"],
+                                      out[s1]["tokens"])
+    np.testing.assert_array_equal(np.stack(toks, axis=1), ref_tok)
+    np.testing.assert_allclose(np.concatenate(pcms), ref_pcm,
+                               rtol=0, atol=0)
+
+
 def test_engine_slots_exhausted(tiny):
     model, params, vq_state = tiny
     eng = SlotEngine(model, params, vq_state, slots=1, mode="encode")
