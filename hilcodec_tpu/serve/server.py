@@ -60,10 +60,18 @@ class CodecServer:
     """TCP server mapping client connections onto engine slots."""
 
     def __init__(self, engine: SlotEngine, sr: int,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 gather_ms: float = 0.0):
+        """gather_ms > 0 micro-batches: after the first frame wakes the
+        tick loop, wait this long for more slots' frames to arrive before
+        running the step. Raises the latency floor by gather_ms but lifts
+        per-tick occupancy — at high client counts each tick costs the
+        full S-slot program regardless of how many rows are active, so
+        amortizing it over more active slots is the throughput knob."""
         self.engine = engine
         self.sr = sr
         self.host, self.port = host, port
+        self.gather_s = gather_ms / 1e3
         self._server: Optional[asyncio.AbstractServer] = None
         self._wake = asyncio.Event()
         self._writers: Dict[int, asyncio.StreamWriter] = {}
@@ -94,6 +102,8 @@ class CodecServer:
         while True:
             await self._wake.wait()
             self._wake.clear()
+            if self.gather_s > 0:
+                await asyncio.sleep(self.gather_s)
             while True:
                 batch = self.engine.collect()
                 if batch is None:
@@ -186,8 +196,8 @@ def _pcm16(x: np.ndarray) -> np.ndarray:
 
 
 async def serve_forever(engine: SlotEngine, sr: int, host: str,
-                        port: int) -> None:
-    srv = CodecServer(engine, sr, host, port)
+                        port: int, gather_ms: float = 0.0) -> None:
+    srv = CodecServer(engine, sr, host, port, gather_ms=gather_ms)
     await srv.start()
     print(f"serving mode={engine.mode} slots={engine.slots} "
           f"n_q={engine.n_q} on {srv.host}:{srv.port}", flush=True)

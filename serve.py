@@ -29,6 +29,9 @@ def main():
     p.add_argument("--mode", default="roundtrip",
                    choices=["roundtrip", "encode", "decode"])
     p.add_argument("-n", "--num_quantizers", type=int, default=None)
+    p.add_argument("--gather-ms", type=float, default=0.0,
+                   help="micro-batch window: wait this many ms after the "
+                        "first pending frame so more slots join each tick")
     p.add_argument("--mesh", action="store_true",
                    help="shard the slot axis over all local devices "
                         "(slots must divide the device count)")
@@ -64,7 +67,7 @@ def main():
     engine = SlotEngine(model, params, vq_state, slots=ns.slots,
                         n=ns.num_quantizers, mode=ns.mode, mesh=mesh)
     asyncio.run(serve_forever(engine, hps.data.sampling_rate,
-                              ns.host, ns.port))
+                              ns.host, ns.port, gather_ms=ns.gather_ms))
 
 
 if __name__ == "__main__":
