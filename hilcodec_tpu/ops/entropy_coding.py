@@ -158,13 +158,43 @@ class ArithmeticDecoder:
         return symbol
 
 
-def encode_symbols(symbols: np.ndarray, cdfs: List[np.ndarray]) -> bytes:
+def _stacked(cdfs: List[np.ndarray]):
+    """[n] list of [card+1] cdfs -> [n, card+1] int64, or None if ragged."""
+    if not cdfs:
+        return None
+    k = len(cdfs[0])
+    if any(len(c) != k for c in cdfs):
+        return None
+    return np.stack([np.asarray(c, np.int64) for c in cdfs])
+
+
+def encode_symbols(symbols: np.ndarray, cdfs: List[np.ndarray],
+                   native: bool = True) -> bytes:
+    """Routes through the C++ backend (csrc/rangecoder.cpp, bit-identical)
+    when available; the Python coder below is the format reference and the
+    fallback. native=False forces the Python path (used by the
+    cross-validation tests)."""
+    if native:
+        stacked = _stacked(cdfs)
+        if stacked is not None:
+            from . import native_coder
+            out = native_coder.encode(np.asarray(symbols).ravel(), stacked)
+            if out is not None:
+                return out
     enc = ArithmeticEncoder()
     for s, cdf in zip(np.asarray(symbols).ravel(), cdfs):
         enc.encode(cdf, int(s))
     return enc.finish()
 
 
-def decode_symbols(data: bytes, cdfs: List[np.ndarray]) -> np.ndarray:
+def decode_symbols(data: bytes, cdfs: List[np.ndarray],
+                   native: bool = True) -> np.ndarray:
+    if native:
+        stacked = _stacked(cdfs)
+        if stacked is not None:
+            from . import native_coder
+            out = native_coder.decode(data, stacked)
+            if out is not None:
+                return out
     dec = ArithmeticDecoder(data)
     return np.array([dec.decode(cdf) for cdf in cdfs], np.int64)
