@@ -11,6 +11,7 @@ the whole loader stays in one address space (no worker process plumbing).
 from __future__ import annotations
 
 import inspect
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
@@ -79,6 +80,15 @@ class DataLoader:
                 self.dataset.__getitem__).parameters
         except (TypeError, ValueError):
             rng_aware = False
+        if not rng_aware and not getattr(self, "_warned_rng", False):
+            # all in-repo datasets take rng=; an external one that doesn't
+            # loses run-to-run determinism (its own randomness, if any, is
+            # unseeded here) — say so once instead of silently regressing
+            self._warned_rng = True
+            warnings.warn(
+                f"{type(self.dataset).__name__}.__getitem__ has no rng= "
+                "parameter; per-item sampling (if any) will not be "
+                "deterministic across runs", stacklevel=2)
 
         def load_batch(args):
             bi, batch_idx = args

@@ -158,11 +158,26 @@ class ArithmeticDecoder:
         return symbol
 
 
-def _stacked(cdfs: List[np.ndarray]):
-    """[n] list of [card+1] cdfs -> [n, card+1] int64, or None if ragged."""
-    if not cdfs:
+def _stacked(cdfs) -> "np.ndarray | None":
+    """cdfs -> [n, card+1] int64 contiguous, or None if ragged.
+
+    Accepts a pre-stacked [n, card+1] array (free passthrough — the LM
+    batch path produces one), a list whose rows are all the SAME array
+    object (one tile instead of n Python-level copies), or a general list
+    of [card+1] rows. The fast paths matter: stacking 3000 rows in Python
+    used to cost 10x the native encode itself."""
+    if isinstance(cdfs, np.ndarray):
+        if cdfs.ndim != 2:
+            return None
+        return np.ascontiguousarray(cdfs, np.int64)
+    if not len(cdfs):
         return None
-    k = len(cdfs[0])
+    first = cdfs[0]
+    if all(c is first for c in cdfs):
+        row = np.asarray(first, np.int64)
+        return np.ascontiguousarray(
+            np.broadcast_to(row, (len(cdfs), len(row))))
+    k = len(first)
     if any(len(c) != k for c in cdfs):
         return None
     return np.stack([np.asarray(c, np.int64) for c in cdfs])

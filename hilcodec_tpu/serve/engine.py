@@ -81,7 +81,20 @@ class SlotEngine:
         self.n_q = n if n is not None else model.vq.num_quantizers
         self.max_queue = max_queue
         if fold and hasattr(model, "fold_params"):
-            params = model.fold_params(params)
+            # folding is hundreds of tiny reparam ops; on the TPU backend
+            # each costs its own XLA compile (minutes of silent startup —
+            # the round-4 serving-window failure). Pin it to the host CPU
+            # backend; the folded weights move to device on first use.
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                params = jax.tree.map(np.asarray, params)
+                with jax.default_device(cpu):
+                    params = model.fold_params(params)
+            else:
+                params = model.fold_params(params)
         self.mesh = mesh
         self._slot_sh = self._tok_sh = None
         if mesh is not None:
@@ -278,3 +291,38 @@ class SlotEngine:
     def tick(self) -> Dict[int, dict]:
         batch = self.collect()
         return self.run(batch) if batch is not None else {}
+
+    def warmup(self) -> float:
+        """Compile + execute the slot program once on an all-inactive tick
+        (masks all false, state-preserving) so the first client frame pays
+        dispatch, not compile. Returns the wall seconds spent."""
+        t0 = time.perf_counter()
+        if self.mode == "decode":
+            x = np.zeros((self.n_q, self.slots, 1), np.int32)
+        else:
+            x = np.zeros((self.slots, 1, self.hop), np.float32)
+        off = np.zeros(self.slots, bool)
+        self.run(_Batch(x=x, active=[], active_mask=off, reset_mask=off))
+        return time.perf_counter() - t0
+
+    def recover(self) -> None:
+        """Rebuild device caches after a failed step.
+
+        donate_argnums means a step that raises mid-execution leaves the
+        old cache buffers deleted; re-materialize zero caches and mark
+        every attached slot for a masked reset on the next tick so the
+        engine keeps serving (streams restart, the process survives)."""
+        ce, cd = self.model.init_cache(self.slots, jnp.float32)
+        if self.mesh is not None:
+            ce = [jax.device_put(c, self._slot_sh) for c in ce]
+            cd = [jax.device_put(c, self._slot_sh) for c in cd]
+        if self._cache_enc:
+            self._cache_enc = ce
+        if self._cache_dec:
+            self._cache_dec = cd
+        with self._lock:
+            # queued host-side frames stay valid and will still be
+            # answered (against the reset stream state); only the device
+            # caches are rebuilt
+            for slot in self._queues:
+                self._to_reset.add(slot)

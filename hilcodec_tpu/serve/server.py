@@ -108,8 +108,21 @@ class CodecServer:
                 batch = self.engine.collect()
                 if batch is None:
                     break
-                out = await loop.run_in_executor(None, self.engine.run,
-                                                 batch)
+                try:
+                    out = await loop.run_in_executor(None, self.engine.run,
+                                                     batch)
+                except Exception:
+                    # one bad batch must not kill the tick loop (every
+                    # stream would hang); drop it, rebuild the donated
+                    # caches, and zero the inflight counters the dropped
+                    # batch will never answer
+                    import traceback
+                    traceback.print_exc()
+                    self.engine.recover()
+                    for slot in batch.active:
+                        if slot in self._inflight:
+                            self._inflight[slot] = 0
+                    continue
                 for slot, res in out.items():
                     if slot in self._inflight:
                         self._inflight[slot] -= 1
@@ -164,15 +177,23 @@ class CodecServer:
              "sr": self.sr, "mode": eng.mode}).encode() + b"\n")
         await writer.drain()
         try:
+            need = 2 * (eng.n_q if eng.mode == "decode" else eng.hop)
             while True:
                 payload = await _read_frame(reader)
                 if payload is None:
                     break
+                # exact length required: a short frame would broadcast-fail
+                # inside the tick loop and stall every other stream
+                if len(payload) != need:
+                    _write_frame(writer, json.dumps(
+                        {"ok": False,
+                         "error": f"frame payload must be {need} bytes, "
+                                  f"got {len(payload)}"}).encode())
+                    break
                 if eng.mode == "decode":
-                    frame = np.frombuffer(payload, np.int16)[:eng.n_q]
-                    frame = frame.astype(np.int32)
+                    frame = np.frombuffer(payload, np.int16).astype(np.int32)
                 else:
-                    pcm = np.frombuffer(payload, np.int16)[:eng.hop]
+                    pcm = np.frombuffer(payload, np.int16)
                     frame = pcm.astype(np.float32) / 32768.0
                 eng.submit(slot, frame)
                 self._inflight[slot] += 1

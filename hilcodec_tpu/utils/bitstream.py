@@ -4,14 +4,19 @@ The reference ships no bitstream at all — its tokens travel as raw int16
 npy arrays at fixed log2(card) bits (test_onnx.py:97-100). The rebuild's
 LM-driven arithmetic coder (ops/entropy_coding.py, scripts/entropy_code.py)
 produces actual compressed bytes; this module gives those bytes a container
-so encode and decode can run as separate processes on different machines:
-everything the decoder needs besides the model weights — token geometry,
-segment layout, sample rate, and the LM architecture that defines the
-shared probability model — rides in a fixed 24-byte header.
+so encode and decode can run as separate processes — on the same platform:
+decodability requires bit-identical LM probabilities (the determinism
+contract in ops/entropy_coding.py), so the decoder must run the same
+program on the same platform/XLA build. Everything the decoder needs
+besides the model weights — token geometry, segment layout, sample rate,
+and the LM architecture that defines the shared probability model — rides
+in a fixed 28-byte header, including a CRC32 of the token array so a
+probability-model mismatch (e.g. cross-platform float divergence) fails
+loudly instead of silently decoding wrong tokens.
 
-Format v1 (little-endian):
+Format v2 (little-endian):
     0   4s  magic  b"HILS"
-    4   B   version (1)
+    4   B   version (2)
     5   B   n_q            quantizers per frame
     6   H   card           codebook size (cdf alphabet)
     8   H   seg_tokens     LM segment length S (frames per segment)
@@ -21,21 +26,33 @@ Format v1 (little-endian):
     20  H   lm_dim         LM width   \\
     22  B   lm_heads       LM heads    } the decoder must rebuild the
     23  B   lm_layers      LM depth   /  exact probability model
-    24  ... payload        arithmetic-coded bytes, time-major (t, seg, q)
+    24  I   token_crc      CRC32 of the decoded tokens (token_crc32())
+    28  ... payload        arithmetic-coded bytes, time-major (t, seg, q)
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Any, Dict, Tuple
 
 MAGIC = b"HILS"
-VERSION = 1
-_HEADER = struct.Struct("<4sBBHHIIHHBB")
-HEADER_BYTES = _HEADER.size  # 24
+VERSION = 2
+_HEADER = struct.Struct("<4sBBHHIIHHBBI")
+HEADER_BYTES = _HEADER.size  # 28
 
 _FIELDS = ("n_q", "card", "seg_tokens", "n_seg", "sampling_rate", "hop",
-           "lm_dim", "lm_heads", "lm_layers")
+           "lm_dim", "lm_heads", "lm_layers", "token_crc")
+
+
+def token_crc32(tokens) -> int:
+    """Canonical token checksum: CRC32 over the int32 little-endian bytes
+    of the token array in its encoded layout ([n_seg, n_q, S])."""
+    import numpy as np
+    arr = np.ascontiguousarray(np.asarray(tokens, np.int32))
+    if arr.dtype.byteorder == ">":  # big-endian host: canonicalize
+        arr = arr.astype("<i4")
+    return zlib.crc32(arr.tobytes()) & 0xFFFFFFFF
 
 
 def pack_hilstream(payload: bytes, **meta: int) -> bytes:

@@ -128,7 +128,7 @@ def main():
     from hilcodec_tpu.models.registry import build_codec_model
     from hilcodec_tpu.train.loop import build_trainer
     from hilcodec_tpu.utils.bitstream import (HEADER_BYTES, read_hilstream,
-                                              write_hilstream)
+                                              token_crc32, write_hilstream)
     from hilcodec_tpu.utils.checkpoint import load_checkpoint
     from hilcodec_tpu.utils.hparams import load_config
     from hilcodec_tpu.utils.wavio import read_wav, write_wav
@@ -175,6 +175,12 @@ def main():
     if ns.decode:
         # ---- standalone decoder: header + bytes -> tokens -> wav ----
         segs = entropy_decode_segments(lm_probs_at, data, n_seg, n_q, S)
+        got_crc = token_crc32(segs)
+        if got_crc != meta["token_crc"]:
+            sys.exit(f"TOKEN CRC MISMATCH: decoded {got_crc:#010x} != "
+                     f"header {meta['token_crc']:#010x} — the decoder's LM "
+                     "probabilities diverge from the encoder's (different "
+                     "platform/XLA build?); output would be garbage")
         # [n_seg, n_q, S] -> [n_q, 1, T] in segment-time order
         tokens = np.concatenate(list(segs), axis=-1)[:, None, :]
         T = tokens.shape[-1]
@@ -254,7 +260,7 @@ def main():
         out["file_bytes"] = write_hilstream(
             ns.out, data, n_q=n_q, card=card, seg_tokens=S, n_seg=n_seg,
             sampling_rate=sr, hop=hop, lm_dim=lm_dim, lm_heads=lm_heads,
-            lm_layers=lm_layers)
+            lm_layers=lm_layers, token_crc=token_crc32(segs))
         assert out["file_bytes"] == len(data) + HEADER_BYTES
         out["stream_file"] = ns.out
     print(json.dumps(out))

@@ -153,17 +153,23 @@ def test_hilstream_container_roundtrip(rng):
     """utils/bitstream.py: the self-describing container preserves every
     header field and the payload byte-for-byte, and rejects corruption."""
     from hilcodec_tpu.utils.bitstream import (HEADER_BYTES, pack_hilstream,
-                                              unpack_hilstream)
+                                              token_crc32, unpack_hilstream)
     payload = bytes(rng.integers(0, 256, 199, dtype=np.uint8))
+    toks = rng.integers(0, 1024, (12, 8, 150))
     meta = dict(n_q=8, card=1024, seg_tokens=150, n_seg=12,
                 sampling_rate=24000, hop=320, lm_dim=200, lm_heads=8,
-                lm_layers=5)
+                lm_layers=5, token_crc=token_crc32(toks))
     blob = pack_hilstream(payload, **meta)
     assert len(blob) == HEADER_BYTES + len(payload)
     got, got_payload = unpack_hilstream(blob)
     assert got_payload == payload
-    assert got.pop("version") == 1
+    assert got.pop("version") == 2
     assert got == meta
+    # the checksum is layout- and value-sensitive
+    assert token_crc32(toks) == token_crc32(toks.astype(np.int32))
+    toks2 = toks.copy()
+    toks2[0, 0, 0] ^= 1
+    assert token_crc32(toks2) != meta["token_crc"]
 
     with pytest.raises(ValueError, match="magic"):
         unpack_hilstream(b"XXXX" + blob[4:])
@@ -184,7 +190,7 @@ def test_hilstream_file_io(tmp_path, rng):
     path = str(tmp_path / "s.hilstream")
     n = write_hilstream(path, payload, n_q=3, card=32, seg_tokens=8,
                         n_seg=4, sampling_rate=16000, hop=64, lm_dim=16,
-                        lm_heads=4, lm_layers=1)
+                        lm_heads=4, lm_layers=1, token_crc=0xDEADBEEF)
     import os
     assert os.path.getsize(path) == n
     meta, got = read_hilstream(path)
@@ -227,14 +233,23 @@ def test_native_coder_throughput(rng):
     cdf = quantize_cdf(p)
     cdfs = [cdf] * n
     syms = rng.choice(card, size=n, p=p).astype(np.int64)
-    t0 = time.perf_counter()
-    nat = encode_symbols(syms, cdfs, native=True)
-    t_nat = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    py = encode_symbols(syms, cdfs, native=False)
-    t_py = time.perf_counter() - t0
+    # warm both paths (lib load, page faults) then best-of-3 each — a cold
+    # first call used to flip the comparison
+    encode_symbols(syms, cdfs, native=True)
+    encode_symbols(syms[:64], cdfs[:64], native=False)
+
+    def best_of(k, fn):
+        ts = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    t_nat, nat = best_of(3, lambda: encode_symbols(syms, cdfs, native=True))
+    t_py, py = best_of(3, lambda: encode_symbols(syms, cdfs, native=False))
     assert nat == py
-    # native must at least not be slower; typical ratio is >100x
+    # native must at least not be slower; typical ratio is >10x
     assert t_nat < t_py, (t_nat, t_py)
     print(f"\nnative {n/t_nat:,.0f} sym/s vs python {n/t_py:,.0f} sym/s "
           f"({t_py/t_nat:.0f}x)")
