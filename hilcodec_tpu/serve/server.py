@@ -131,11 +131,11 @@ class CodecServer:
                         continue
                     if self.engine.mode == "roundtrip":
                         payload = (res["tokens"].tobytes()
-                                   + _pcm16(res["pcm"]).tobytes())
+                                   + res["pcm"].tobytes())
                     elif self.engine.mode == "encode":
                         payload = res["tokens"].tobytes()
                     else:
-                        payload = _pcm16(res["pcm"]).tobytes()
+                        payload = res["pcm"].tobytes()
                     _write_frame(w, payload)
                 for w in {self._writers[s] for s in out
                           if s in self._writers}:
@@ -155,6 +155,19 @@ class CodecServer:
             writer.close()
             return
         mode = hello.get("mode", "auto")
+        if mode == "stats":
+            st = dict(eng.stats)
+            n = max(st.get("ticks", 0), 1)
+            st["tick_ms_mean"] = round(st.pop("tick_s_sum", 0.0) / n * 1e3, 3)
+            st["tick_ms_max"] = round(st.pop("tick_s_max", 0.0) * 1e3, 3)
+            for k in ("up", "dispatch", "fetch"):
+                st[f"{k}_ms_mean"] = round(
+                    st.pop(f"{k}_s_sum", 0.0) / n * 1e3, 3)
+            st["ok"] = True
+            writer.write(json.dumps(st).encode() + b"\n")
+            await writer.drain()
+            writer.close()
+            return
         if mode not in ("auto", eng.mode):
             writer.write(json.dumps(
                 {"ok": False,
@@ -190,12 +203,8 @@ class CodecServer:
                          "error": f"frame payload must be {need} bytes, "
                                   f"got {len(payload)}"}).encode())
                     break
-                if eng.mode == "decode":
-                    frame = np.frombuffer(payload, np.int16).astype(np.int32)
-                else:
-                    pcm = np.frombuffer(payload, np.int16)
-                    frame = pcm.astype(np.float32) / 32768.0
-                eng.submit(slot, frame)
+                # wire format == engine format (int16): zero host conversion
+                eng.submit(slot, np.frombuffer(payload, np.int16))
                 self._inflight[slot] += 1
                 self._wake.set()
             # graceful close: let queued frames drain before detaching
@@ -210,10 +219,6 @@ class CodecServer:
                 writer.close()
             except Exception:
                 pass
-
-
-def _pcm16(x: np.ndarray) -> np.ndarray:
-    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
 
 
 async def serve_forever(engine: SlotEngine, sr: int, host: str,

@@ -96,6 +96,7 @@ _SLOW_NODES = {
     "test_rvq.py::test_dropout_masks_inactive_stages",
     "test_rvq.py::test_expiry_replaces_dead_codes",
     "test_stft.py::test_istft_roundtrip",
+    "test_flops_oracle.py::test_analytic_counter_matches_torch_hooks",
 }
 
 

@@ -53,6 +53,18 @@ def _stream_ref(model, params, vq_state, wav, mode="roundtrip"):
     return np.asarray(tok)[:, 0, :], np.asarray(out)[0, 0]
 
 
+def _q16(x):
+    """Host-side int16 wire quantization (identical to the device enc16:
+    scaling by 2**15 is exact in f32/f64, np.round == jnp.round ==
+    round-half-even, so the two sides agree bitwise)."""
+    return np.clip(np.round(np.asarray(x, np.float64) * 32768.0),
+                   -32768, 32767).astype(np.int16)
+
+
+def _dq16(x16):
+    return x16.astype(np.float32) / 32768.0
+
+
 def _frames(wav, hop):
     return [wav[i * hop:(i + 1) * hop] for i in range(len(wav) // hop)]
 
@@ -66,7 +78,9 @@ def test_engine_parity_staggered_streams(tiny, rng):
 
     wavs = {name: (rng.standard_normal(hop * 6) * 0.3).astype(np.float32)
             for name in "abc"}
-    refs = {k: _stream_ref(model, params, vq_state, w)
+    # the engine's wire format is int16: the solo oracle must see the same
+    # dequantized floats, and PCM compares exactly at 16-bit
+    refs = {k: _stream_ref(model, params, vq_state, _dq16(_q16(w)))
             for k, w in wavs.items()}
     frames = {k: _frames(w, hop) for k, w in wavs.items()}
     got = {k: {"tokens": [], "pcm": []} for k in wavs}
@@ -98,7 +112,7 @@ def test_engine_parity_staggered_streams(tiny, rng):
         tok = np.stack(got[k]["tokens"], axis=1)      # [n_q, L]
         pcm = np.concatenate(got[k]["pcm"])
         np.testing.assert_array_equal(tok, ref_tok)
-        np.testing.assert_allclose(pcm, ref_pcm, rtol=0, atol=0)
+        np.testing.assert_array_equal(pcm, _q16(ref_pcm))
 
 
 def test_engine_slot_reuse_is_clean(tiny, rng):
@@ -116,7 +130,8 @@ def test_engine_slot_reuse_is_clean(tiny, rng):
     eng.detach(s)
 
     fresh = (rng.standard_normal(hop * 4) * 0.3).astype(np.float32)
-    ref_tok, ref_pcm = _stream_ref(model, params, vq_state, fresh)
+    ref_tok, ref_pcm = _stream_ref(model, params, vq_state,
+                                   _dq16(_q16(fresh)))
     s2 = eng.attach()
     assert s2 == s  # same physical slot row
     toks, pcms = [], []
@@ -126,8 +141,7 @@ def test_engine_slot_reuse_is_clean(tiny, rng):
         toks.append(res["tokens"])
         pcms.append(res["pcm"])
     np.testing.assert_array_equal(np.stack(toks, axis=1), ref_tok)
-    np.testing.assert_allclose(np.concatenate(pcms), ref_pcm,
-                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.concatenate(pcms), _q16(ref_pcm))
 
 
 def test_engine_decode_mode(tiny, rng):
@@ -142,8 +156,7 @@ def test_engine_decode_mode(tiny, rng):
     for t in range(ref_tok.shape[1]):
         eng.submit(s, ref_tok[:, t])
         pcms.append(eng.tick()[s]["pcm"])
-    np.testing.assert_allclose(np.concatenate(pcms), ref_pcm,
-                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.concatenate(pcms), _q16(ref_pcm))
 
 
 def test_engine_mesh_sharded_parity(tiny, rng):
@@ -159,7 +172,8 @@ def test_engine_mesh_sharded_parity(tiny, rng):
                      mesh=mesh)
 
     wav = (rng.standard_normal(hop * 5) * 0.3).astype(np.float32)
-    ref_tok, ref_pcm = _stream_ref(model, params, vq_state, wav)
+    ref_tok, ref_pcm = _stream_ref(model, params, vq_state,
+                                   _dq16(_q16(wav)))
     # occupy two slots on different devices; the second mirrors the first
     s1, s2 = eng.attach(), eng.attach()
     toks, pcms = [], []
@@ -172,8 +186,7 @@ def test_engine_mesh_sharded_parity(tiny, rng):
         np.testing.assert_array_equal(out[s2]["tokens"],
                                       out[s1]["tokens"])
     np.testing.assert_array_equal(np.stack(toks, axis=1), ref_tok)
-    np.testing.assert_allclose(np.concatenate(pcms), ref_pcm,
-                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.concatenate(pcms), _q16(ref_pcm))
 
 
 def test_engine_slots_exhausted(tiny):
@@ -238,15 +251,57 @@ def test_tcp_two_concurrent_clients(tiny, rng):
     for wav, tok, pcm in ((wav_a, tok_a, pcm_a), (wav_b, tok_b, pcm_b)):
         # the wire quantizes input PCM to int16 — the oracle must see the
         # same dequantized floats the server saw
-        q = np.clip(np.round(wav * 32768), -32768, 32767) / 32768.0
         ref_tok, ref_pcm = _stream_ref(model, params, vq_state,
-                                       q.astype(np.float32))
+                                       _dq16(_q16(wav)))
         np.testing.assert_array_equal(tok, ref_tok)
-        ref16 = np.clip(np.round(ref_pcm * 32768), -32768, 32767)
-        np.testing.assert_allclose(pcm, ref16, atol=1)
+        np.testing.assert_array_equal(pcm, _q16(ref_pcm))
 
     assert eng.stats["frames"] == 12
     assert not eng.pending()
+
+
+def test_tcp_malformed_frame_rejected_without_collateral(tiny, rng):
+    """A short frame payload must get an error + close for THAT client
+    only — it must not reach the tick loop and stall other streams
+    (the round-4 advisor's high-severity finding)."""
+    model, params, vq_state = tiny
+    hop = model.hop_length
+    eng = SlotEngine(model, params, vq_state, slots=4, mode="roundtrip")
+    wav = (rng.standard_normal(hop * 4) * 0.3).astype(np.float32)
+
+    async def bad_client(port):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b'{"mode": "auto"}\n')
+        hdr = json.loads((await reader.readline()).decode())
+        assert hdr["ok"]
+        short = np.zeros(hop // 2, np.int16).tobytes()  # wrong length
+        writer.write(_LEN.pack(len(short)) + short)
+        await writer.drain()
+        (ln,) = _LEN.unpack(await reader.readexactly(4))
+        err = json.loads(await reader.readexactly(ln))
+        writer.close()
+        return err
+
+    async def go():
+        srv = CodecServer(eng, sr=24000, port=0)
+        await srv.start()
+        try:
+            frames = [_q16(f) for f in _frames(wav, hop)]
+            good, err = await asyncio.gather(
+                _client_roundtrip(srv.port, frames, eng.n_q, hop),
+                bad_client(srv.port))
+            return good, err
+        finally:
+            await srv.stop()
+
+    (tok, pcm), err = asyncio.run(go())
+    assert err["ok"] is False and "payload" in err["error"]
+    ref_tok, ref_pcm = _stream_ref(model, params, vq_state,
+                                   _dq16(_q16(wav)))
+    np.testing.assert_array_equal(tok, ref_tok)
+    np.testing.assert_array_equal(pcm, _q16(ref_pcm))
+    # the bad client's slot was freed (no leak)
+    assert len(eng._free) == eng.slots
 
 
 def test_tcp_mode_mismatch_rejected(tiny):
