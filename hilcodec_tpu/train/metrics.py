@@ -190,8 +190,16 @@ def mcd(clean: np.ndarray, processed: np.ndarray, sr: int = 16000,
 # ---------------------------------------------------------------------------
 
 def _pesq_backend(ref: np.ndarray, deg: np.ndarray, sr: int) -> float:
-    from pesq import pesq as _pesq  # gated: package may be absent
-    return float(_pesq(16000, ref, deg, "wb"))
+    """PESQ-wb @16 kHz (reference metrics.py:16-21). Prefers the ITU
+    `pesq` package when importable; otherwise the in-env numpy P.862.2
+    oracle (train/pesq_np.py — structural reimplementation, calibrated,
+    NOT bit-validated against the ITU binary; see its module docstring)."""
+    try:
+        from pesq import pesq as _pesq  # gated: package may be absent
+        return float(_pesq(16000, ref, deg, "wb"))
+    except ImportError:
+        from .pesq_np import pesq_wb
+        return pesq_wb(ref, deg, 16000)
 
 
 def _visqol_python(ref: np.ndarray, deg: np.ndarray, sr: int,
