@@ -209,9 +209,17 @@ def causal_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
                             ) -> jnp.ndarray:
     """Batched causal transposed conv (training graph semantics).
 
-    Equals torch `conv_transpose1d(x, w, stride=s)` followed by trimming
-    `k - s` samples on the right (trim_right_ratio=1.0, reference
-    models/hilcodec/modules/conv.py:260-282). Output length = L*s.
+    For d == 1: equals torch `conv_transpose1d(x, w, stride=s)` followed
+    by trimming `k - s` samples on the right (trim_right_ratio=1.0,
+    reference models/hilcodec/modules/conv.py:260-282). For d > 1 the
+    reference's own two implementations diverge (the training-graph trim
+    `k - s` at modules/conv.py:263 ignores dilation; the streaming cache
+    algebra at causal_layers.py:168-188 accounts for it) — the repo's
+    spec is the STREAMING semantic for every d: output length L*s, and
+    batch == concatenated `causal_conv_transpose1d_step` chunks bitwise
+    (pinned by tests/test_conv.py). The right padding that realizes it is
+    `stride - 1` for all (k, s, d) — the old `rf - (k - stride)` form
+    equals that only at d == 1.
     w layout follows torch ConvTranspose1d: [Cin, Cout/groups, k].
     """
     k = w.shape[-1]
@@ -223,11 +231,9 @@ def causal_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
         return y
     wc = _convt_weight_as_conv(w, groups)
     rf = dilation * (k - 1)
-    # full transposed conv = lhs-dilated conv with padding (rf, rf);
-    # trimming (k - s) on the right folds into the right padding.
     y = lax.conv_general_dilated(
         x, wc.astype(x.dtype), window_strides=(1,),
-        padding=[(rf, rf - (k - stride))], lhs_dilation=(stride,),
+        padding=[(rf, stride - 1)], lhs_dilation=(stride,),
         rhs_dilation=(dilation,), dimension_numbers=_DIMS,
         feature_group_count=groups)
     if b is not None:
