@@ -169,9 +169,10 @@ def main():
         else:
             print("warning: no --ckpt, scoring randomly initialized "
                   "weights", file=sys.stderr)
-            vq_state["embed"] = jax.random.normal(
-                jax.random.PRNGKey(1), vq_state["embed"].shape,
-                jnp.float32)
+            if "embed" in vq_state:
+                vq_state["embed"] = jax.random.normal(
+                    jax.random.PRNGKey(1), vq_state["embed"].shape,
+                    jnp.float32)
         if hasattr(model, "fold_params"):
             params = model.fold_params(params)
         # checkpoints load as numpy; closed-over numpy constants get baked
@@ -182,8 +183,20 @@ def main():
         vq_state = jax.tree_util.tree_map(jnp.asarray, vq_state)
         hop = model.hop_length
 
+        # quantizers without a Euclidean codebook (shape-gain, NoVQ) have
+        # no token encode/decode API — reconstruct via forward, like the
+        # avocodo facade above
+        forward_only = "embed" not in vq_state
+
         @jax.jit
         def code(wav):
+            if forward_only:
+                n = (jnp.asarray(ns.num_quantizers)
+                     if ns.num_quantizers else None)
+                wav_g, _, _, _ = model.forward(
+                    params, vq_state, wav, jax.random.PRNGKey(0), n=n,
+                    training=False)
+                return wav_g
             tokens = model.encode(params, vq_state, wav,
                                   n=ns.num_quantizers)
             return model.decode(params, vq_state, tokens)
@@ -208,7 +221,7 @@ def main():
             Lp = hop * (1 << max(0, (L // hop - 1)).bit_length())
             x = np.zeros((1, 1, Lp), np.float32)
             x[0, 0, :L] = wav[:L]
-            if ns.stream or Lp // hop > 512:
+            if (ns.stream or Lp // hop > 512) and not forward_only:
                 ce, cd = model.init_cache(1)
                 y = code_stream(jnp.asarray(x), ce, cd)
             else:

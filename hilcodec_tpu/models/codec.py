@@ -119,9 +119,16 @@ class CodecModel:
         vq_name = model_kwargs.get("vq", "ResidualVQ")
         if vq_name == "":
             return cls(codec, Q.NoVQ())
+        if vq_name == "ResidualShapeGainVQ":
+            # gain/shape product VQ (reference
+            # modules/vector_quantize.py:198-372) behind the same trainer
+            # interface; token encode/decode stays Euclidean-only (the
+            # reference never deploys shape-gain either)
+            from ..ops.shape_gain import ShapeGainVQBridge
+            return cls(codec, ShapeGainVQBridge.from_kwargs(vq_kwargs))
         if vq_name != "ResidualVQ":
             raise ValueError(f"Unknown vq: {vq_name!r} (supported: "
-                             f"'ResidualVQ', '')")
+                             f"'ResidualVQ', 'ResidualShapeGainVQ', '')")
         vq = Q.ResidualVQ(
             dim=vq_kwargs.get("dim", 128),
             codebook_size=vq_kwargs.get("codebook_size", 1024),

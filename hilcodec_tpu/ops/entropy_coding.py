@@ -67,9 +67,21 @@ class BitWriter:
 
 
 class BitReader:
-    def __init__(self, data: bytes):
-        self._data = data
+    def __init__(self, data: bytes = b""):
+        self._data = bytearray(data)
         self._pos = 0
+
+    def feed(self, data: bytes) -> None:
+        """Append bytes (live decoding: the stream grows as the encoder
+        settles bits)."""
+        self._data.extend(data)
+
+    def avail_bits(self) -> int:
+        """Bits not yet consumed. The zero-padding in read() is only valid
+        at the encoder's final flush — a live decoder must keep a safety
+        margin of available bits before decoding a symbol (see
+        serve/entropy_live.py)."""
+        return len(self._data) * 8 - self._pos
 
     def read(self) -> int:
         byte_i, bit_i = divmod(self._pos, 8)
@@ -116,16 +128,32 @@ class ArithmeticEncoder:
             self._low <<= 1
             self._high = (self._high << 1) | 1
 
+    def settled_bytes(self) -> bytes:
+        """Fully-settled output bytes so far, incrementally: returns only
+        bytes not handed out by a previous call (live streaming — these
+        will never change; the final finish() tail comes separately)."""
+        taken = getattr(self, "_taken", 0)
+        out = bytes(self._out._bytes[taken:])
+        self._taken = taken + len(out)
+        return out
+
     def finish(self) -> bytes:
         # disambiguate the final interval with two bits
         self._pending += 1
         self._emit(0 if self._low < _QUARTER else 1)
         return self._out.getvalue()
 
+    def finish_tail(self) -> bytes:
+        """finish() for the incremental consumer: only the bytes after the
+        last settled_bytes() call (incl. the final partial byte)."""
+        blob = self.finish()
+        return blob[getattr(self, "_taken", 0):]
+
 
 class ArithmeticDecoder:
-    def __init__(self, data: bytes):
-        self._in = BitReader(data)
+    def __init__(self, data):
+        """data: bytes, or a BitReader (live decoding — feed() it)."""
+        self._in = data if isinstance(data, BitReader) else BitReader(data)
         self._low = 0
         self._high = _FULL
         self._code = 0

@@ -214,3 +214,57 @@ class ResidualShapeGainVQ:
             quantized = quantized.swapaxes(1, 2)
         new_state = jax.tree.map(lambda *xs: jnp.stack(xs), *new_states)
         return quantized, new_state, loss, jnp.stack(replaces)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeGainVQBridge:
+    """ResidualShapeGainVQ behind the CodecModel quantizer interface
+    (`vq: ResidualShapeGainVQ` config routing — reference
+    models/hilcodec/models.py:57 lists the option; its trainer only ever
+    ships ResidualVQ). Adapts the 4-tuple __call__ to the trainer's
+    5-tuple (token indices are Euclidean-only — shape-gain has two index
+    sets per stage and no deployment path, matching the reference)."""
+    rvq: ResidualShapeGainVQ
+
+    @classmethod
+    def from_kwargs(cls, vq_kwargs) -> "ShapeGainVQBridge":
+        return cls(ResidualShapeGainVQ(
+            dim=vq_kwargs.get("dim", 128),
+            num_quantizers=vq_kwargs.get("num_quantizers", 8),
+            shape_codebook_size=vq_kwargs.get("shape_codebook_size",
+                                              vq_kwargs.get("codebook_size",
+                                                            1024)),
+            gain_codebook_size=vq_kwargs.get("gain_codebook_size", 16),
+            decay=vq_kwargs.get("decay", 0.99),
+            ema_num_threshold=vq_kwargs.get("ema_num_threshold", 0.0),
+            ema_num_initial=vq_kwargs.get("ema_num_initial", 1.0),
+            log_gain=vq_kwargs.get("log_gain", True),
+            channel_last=False))
+
+    @property
+    def num_quantizers(self) -> int:
+        return self.rvq.num_quantizers
+
+    def init_state(self, key: jax.Array) -> SGState:
+        return self.rvq.init_state(key)
+
+    def sample_n(self, key: jax.Array) -> None:
+        """No structured quantizer dropout for shape-gain (the reference's
+        dropout_index machinery lives in its Euclidean ResidualVQ only):
+        always the full stack. None keeps the stage loop static —
+        ResidualShapeGainVQ branches on n in Python, unlike the masked
+        traced-n form in ops/rvq.py."""
+        return None
+
+    def kmeans_init_state(self, state: SGState, x: jnp.ndarray,
+                          key: jax.Array) -> SGState:
+        """No-op: shape/gain codebooks initialize randomly (unit-norm
+        shapes + spread gains, ShapeGainCodebook.init_state); the
+        reference's kmeans warmup applies to Euclidean codebooks only."""
+        return state
+
+    def __call__(self, x, state, key, n=None, training=True,
+                 axis_name=None):
+        q, state, loss, replaces = self.rvq(
+            x, state, key, n=n, training=training, axis_name=axis_name)
+        return q, state, loss, replaces, None

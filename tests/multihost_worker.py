@@ -10,11 +10,84 @@ import os
 import sys
 
 
+def _family_trainer(family: str):
+    """Tiny per-family trainer (VERDICT r4 item 9: multihost smoke for
+    avocodo and encodec, not just hilcodec). hilcodec/encodec share the
+    balancer GAN Trainer; avocodo uses its own D-before-G trainer — all
+    three go through the same make_parallel_train_step."""
+    if family == "hilcodec":
+        from test_train_step import tiny_trainer
+        return tiny_trainer()
+    from hilcodec_tpu.models.losses import MelLoss
+    from hilcodec_tpu.ops.rvq import ResidualVQ
+    from hilcodec_tpu.train.optim import make_optimizer
+    from hilcodec_tpu.train.schedulers import EmptyScheduler
+    opt_g, lr = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9]})
+    opt_d, _ = make_optimizer("AdamP", {"lr": 5e-4, "betas": [0.5, 0.9]})
+    if family == "encodec":
+        from hilcodec_tpu.models.codec import CodecModel
+        from hilcodec_tpu.models.discriminators import Discriminators
+        from hilcodec_tpu.models.encodec import EncodecModel
+        from hilcodec_tpu.train.balancer import Balancer
+        from hilcodec_tpu.train.step import Trainer
+        model = CodecModel(
+            EncodecModel(channels_enc=8, channels_dec=8,
+                         strides=(4, 2), lstm=1, vq_dim=16),
+            ResidualVQ(dim=16, codebook_size=32, num_quantizers=2,
+                       kmeans_init=False))
+        disc = Discriminators(
+            mstftd_kwargs={"use": True, "filters": 4, "n_ffts": [64],
+                           "hop_lengths": [16], "win_lengths": [64]})
+        return Trainer(
+            model=model, disc=disc, mel_loss=MelLoss(24000, n_mels_max=8),
+            balancer=Balancer(weights=(("freq", 0.48), ("mstftd_g", 1.1),
+                                       ("mstftd_fm", 1.1)),
+                              weight_others=0.01, ema_decay=0.99),
+            optim_g=opt_g, optim_d=opt_d, sched_g=EmptyScheduler(),
+            sched_d=EmptyScheduler(), lr_g=lr, lr_d=lr)
+    assert family == "avocodo", family
+    from hilcodec_tpu.models.avocodo import (AvocodoDiscriminators,
+                                             AvocodoModel)
+    from hilcodec_tpu.train.balancer import SimpleBalancer
+    from hilcodec_tpu.train.step_avocodo import (AvocodoCodecModel,
+                                                 AvocodoTrainer)
+    model = AvocodoModel(channels_enc=8, channels_dec=8, n_fft_base=16,
+                         n_residual_enc=1, n_residual_dec=1,
+                         strides=(4, 2, 4, 2), vq_dim=16,
+                         res_scale_enc=0.577, res_scale_dec=0.577)
+    vq = ResidualVQ(dim=16, codebook_size=32, num_quantizers=2,
+                    kmeans_init=False)
+    disc = AvocodoDiscriminators(
+        combd_kwargs={"use": True, "h": {
+            "combd_h_u": [[4, 8], [4, 8], [4, 8]],
+            "combd_d_k": [[7, 5], [11, 5], [15, 5]],
+            "combd_d_s": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_d": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_g": [[1, 1], [1, 1], [1, 1]],
+            "combd_d_p": [[3, 2], [5, 2], [7, 2]],
+            "combd_op_f": [1, 1, 1], "combd_op_k": [3, 3, 3],
+            "combd_op_g": [1, 1, 1],
+            "pqmf_config": {"lv1": [2, 256, 0.25, 10.0],
+                            "lv2": [8, 256, 0.067, 10.0]}}})
+    return AvocodoTrainer(
+        model=AvocodoCodecModel(model, vq), disc=disc,
+        mel_loss=MelLoss(24000, n_mels_max=8),
+        balancer=SimpleBalancer.from_config(
+            {"weights": {"freq": 45, "combd_g": 1.0, "combd_fm": 2.0},
+             "weight_others": 0.01}),
+        optim_g=opt_g, optim_d=opt_d, sched_g=EmptyScheduler(),
+        sched_d=EmptyScheduler(), lr_g=lr, lr_d=lr,
+        pqmf_config={"lv1": (2, 256, 0.25, 10.0),
+                     "lv2": (8, 256, 0.067, 10.0)})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--num", type=int, required=True)
     ap.add_argument("--id", type=int, required=True)
+    ap.add_argument("--family", default="hilcodec",
+                    choices=["hilcodec", "avocodo", "encodec"])
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -37,10 +110,9 @@ def main():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from test_train_step import tiny_trainer
     from hilcodec_tpu.train.step import make_parallel_train_step
 
-    trainer = tiny_trainer()
+    trainer = _family_trainer(args.family)
     mesh = Mesh(np.array(jax.devices()), ("dp",))
 
     # identical seed on every process -> identical local state; replicate
@@ -65,7 +137,8 @@ def main():
         state, metrics = step(state, wav, jax.random.PRNGKey(7))
     jax.block_until_ready(state.params_g)
 
-    assert float(metrics["finite"]) == 1.0
+    if "finite" in metrics:           # avocodo trainer has no skip guard
+        assert float(metrics["finite"]) == 1.0
     assert int(np.asarray(state.iteration)) == 2
     checksum = float(sum(np.abs(np.asarray(l)).sum()
                          for l in jax.tree.leaves(state.params_g)))

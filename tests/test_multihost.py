@@ -1,8 +1,10 @@
 """Multi-host evidence for train.py's `jax.distributed.initialize` path:
 two OS processes, each a fake 2-device host, share one 4-device dp mesh and
-run the full GAN train step (VERDICT round-1 item 8). The replicated states
-must stay bit-identical across processes — the reference's end-of-epoch
-all_gather consistency assert (wrapper.py:306-314), here across hosts.
+run the full GAN train step (VERDICT round-1 item 8) — for ALL THREE
+trainer families (hilcodec balancer GAN, avocodo D-before-G, encodec;
+VERDICT r4 item 9). The replicated states must stay bit-identical across
+processes — the reference's end-of-epoch all_gather consistency assert
+(wrapper.py:306-314), here across hosts.
 """
 
 import os
@@ -23,7 +25,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_step():
+@pytest.mark.parametrize("family", ["hilcodec", "avocodo", "encodec"])
+def test_two_process_distributed_train_step(family):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -35,7 +38,7 @@ def test_two_process_distributed_train_step():
             [sys.executable, os.path.join(REPO, "tests",
                                           "multihost_worker.py"),
              "--coordinator", f"127.0.0.1:{port}", "--num", "2",
-             "--id", str(pid)],
+             "--id", str(pid), "--family", family],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=REPO))
     outs = []
