@@ -8,10 +8,12 @@ ViSQOL binary).
 
 Backends:
   * STOI — implemented here in pure numpy (no pystoi dependency).
-  * PESQ — uses the `pesq` package when importable, else gated off.
-  * ViSQOL — subprocess binding, gated on binary presence.
+  * PESQ — the `pesq` package when importable, else the in-env numpy
+    P.862.2-style oracle (train/pesq_np.py).
+  * ViSQOL — the `visqol` python API, else the bazel-binary subprocess
+    binding, else the in-env numpy NSIM oracle (train/visqol_np.py).
 The shipped configs disable all of them (hilcodec_music.yaml:174-178);
-the pipeline stays faithful with whatever backends are available.
+every metric now has an always-available in-env backend.
 """
 
 from __future__ import annotations
@@ -234,13 +236,19 @@ def measure_visqol(ref: np.ndarray, deg: np.ndarray, sr: int,
     """MOS-LQO via the python API when the `visqol` package is importable
     (reference utils/visqol_python.py), else the subprocess binding to the
     bazel binary (utils/visqol_cli.py:30-36; selector
-    utils/measure_visqol.py:1-4)."""
+    utils/measure_visqol.py:1-4), else the in-env numpy NSIM oracle
+    (train/visqol_np.py — structural reimplementation, calibrated,
+    same-ordering; see its docstring for the deviations)."""
     try:
         return _visqol_python(ref, deg, sr, mode)
     except ImportError:
         pass
     from ..utils.wavio import write_wav
     binary = binary or os.environ.get("VISQOL_BIN", "visqol")
+    import shutil
+    if shutil.which(binary) is None:
+        from .visqol_np import visqol_np
+        return visqol_np(ref, deg, sr, mode)
     with tempfile.TemporaryDirectory() as d:
         rp, dp = os.path.join(d, "ref.wav"), os.path.join(d, "deg.wav")
         write_wav(rp, ref, sr)
