@@ -488,20 +488,23 @@ class PairedCleanNoisyDataset:
 def extract_pitch(wav: np.ndarray, sampling_rate: int, hop_size: int,
                   fmin: float = 75.0, fmax: float = 600.0,
                   log_pitch: bool = False) -> Tuple[np.ndarray, np.ndarray]:
-    """Pitch + voicing via parselmouth (audio.py:217-257), gated on the
-    optional dependency; NaN-free linear interpolation over unvoiced."""
+    """Pitch + voicing (audio.py:217-257): parselmouth when importable,
+    else the in-env numpy YIN tracker (data/pitch_np.py — same per-hop
+    (f0, voiced) contract); NaN-free linear interpolation over unvoiced."""
+    from scipy.interpolate import interp1d
     try:
         import parselmouth
-    except ImportError as e:
-        raise ImportError("pitch extraction requires parselmouth") from e
-    from scipy.interpolate import interp1d
-
-    padding = int(math.floor(sampling_rate / fmin * 3 / 2 - hop_size / 2)) + 1
-    padded = np.pad(wav, (padding, padding))
-    snd = parselmouth.Sound(padded, sampling_rate)
-    pitch = snd.to_pitch(time_step=hop_size / sampling_rate,
-                         pitch_floor=fmin,
-                         pitch_ceiling=fmax).selected_array["frequency"]
+    except ImportError:
+        from .pitch_np import pitch_np
+        pitch = pitch_np(wav, sampling_rate, hop_size, fmin, fmax)
+    else:
+        padding = int(math.floor(
+            sampling_rate / fmin * 3 / 2 - hop_size / 2)) + 1
+        padded = np.pad(wav, (padding, padding))
+        snd = parselmouth.Sound(padded, sampling_rate)
+        pitch = snd.to_pitch(time_step=hop_size / sampling_rate,
+                             pitch_floor=fmin,
+                             pitch_ceiling=fmax).selected_array["frequency"]
     voiced = np.sign(pitch).astype(np.float32)
     nz = np.where(pitch != 0)[0]
     if len(nz) == 0:
