@@ -225,6 +225,12 @@ class ShapeGainVQBridge:
     5-tuple (token indices are Euclidean-only — shape-gain has two index
     sets per stage and no deployment path, matching the reference)."""
     rvq: ResidualShapeGainVQ
+    # trainer duck-type flags (TrainLoop.initialize_vq checks kmeans_init
+    # before touching vq_state): shape/gain codebooks initialize randomly
+    # (unit-norm shapes + spread gains), no kmeans warmup, no structured
+    # quantizer dropout — same contract as NoVQ (ops/rvq.py:310-312)
+    kmeans_init: bool = False
+    dropout: bool = False
 
     @classmethod
     def from_kwargs(cls, vq_kwargs) -> "ShapeGainVQBridge":

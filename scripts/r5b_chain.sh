@@ -32,6 +32,20 @@ ev() { # ev <name> <config> <ckpt> <input> <n_q>
     fi
 }
 
+trainrun() { # trainrun <name> <config> <timeout_s> <logfile> [-p overrides...]
+    # restart semantics: a run dir with checkpoints resumes (no -c: the
+    # snapshot config is authoritative); a checkpoint-less leftover dir
+    # (e.g. from a crashed attempt) is wiped so the snapshot guard
+    # (utils/hparams.py FileExistsError) doesn't reject the retrain.
+    local name=$1 cfg=$2 to=$3 lg=$4; shift 4
+    if ls "logs/$name"/*.ckpt.npz >/dev/null 2>&1; then
+        timeout "$to" python train.py -n "$name" "$@" >> "$lg" 2>&1
+    else
+        rm -rf "logs/$name"
+        timeout "$to" python train.py -n "$name" -c "$cfg" "$@" >> "$lg" 2>&1
+    fi
+}
+
 note "r5b chain start"
 # wait for the bench smoke run to free the chip
 if [ -f /tmp/bench_smoke.pid ]; then
@@ -41,9 +55,8 @@ note "chip free; stage 1 (shapegain)"
 
 # -- 1. ShapeGain end-to-end --------------------------------------------------
 if [ ! -f logs/synth_shapegain/00010.ckpt.npz ]; then
-    timeout 4000 python train.py -n synth_shapegain \
-        -c configs/hilcodec_shapegain_synth.yaml \
-        > logs/r5b_shapegain_train.log 2>&1
+    trainrun synth_shapegain configs/hilcodec_shapegain_synth.yaml \
+        4000 logs/r5b_shapegain_train.log
     rc=$?
     [ -f logs/synth_shapegain/00010.ckpt.npz ] \
         && note "ok shapegain train (rc=$rc)" \
@@ -55,9 +68,8 @@ ev shapegain_n8 logs/synth_shapegain/config.yaml \
 # -- 2. DirectoriesDataset recipe ---------------------------------------------
 note "stage 2 (music_dirs)"
 if [ ! -f logs/synth_music_dirs/00025.ckpt.npz ]; then
-    timeout 7200 python train.py -n synth_music_dirs \
-        -c configs/hilcodec_music_dirs_synth.yaml \
-        > logs/r5b_music_dirs_train.log 2>&1
+    trainrun synth_music_dirs configs/hilcodec_music_dirs_synth.yaml \
+        7200 logs/r5b_music_dirs_train.log
     rc=$?
     [ -f logs/synth_music_dirs/00025.ckpt.npz ] \
         && note "ok music_dirs train (rc=$rc)" \
@@ -73,9 +85,9 @@ ev music_dirs_ood_n8 "$MC" "$MK" data/real_segments 8
 # -- 3. flagship speech: 100-epoch budget curve -------------------------------
 note "stage 3 (flagship 100 epochs, B=48 bf16)"
 if [ ! -f logs/synth/00100.ckpt.npz ]; then
-    timeout 12000 python train.py -n synth -c configs/hilcodec_speech_synth.yaml \
-        -p train.max_epochs=100 train.batch_size=48 train.compute_dtype=bfloat16 \
-        > logs/r5b_speech100_train.log 2>&1
+    trainrun synth configs/hilcodec_speech_synth.yaml \
+        12000 logs/r5b_speech100_train.log \
+        -p train.max_epochs=100 train.batch_size=48 train.compute_dtype=bfloat16
     rc=$?
     [ -f logs/synth/00100.ckpt.npz ] \
         && note "ok speech100 train (rc=$rc)" \
