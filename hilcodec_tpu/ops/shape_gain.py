@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 SGState = Dict[str, jnp.ndarray]
 
@@ -184,6 +185,17 @@ class ResidualShapeGainVQ:
         B, T, C = xcl.shape
         flatten = jax.lax.stop_gradient(xcl.reshape(B * T, C))
         n_q = self.num_quantizers if n is None else n
+        # n may be a traced scalar (e.g. the jitted infer/eval graphs pass
+        # jnp.asarray(n)); Python branching on `i < n_q` would raise
+        # TracerBoolConversionError, so the traced case masks the
+        # accumulate instead — the same masked form ops/rvq.py uses.
+        # Training requires a static n: stage activity decides whether the
+        # EMA train_step runs at all, which cannot be masked after the fact.
+        n_static = n is None or isinstance(n, (int, np.integer))
+        if training and not n_static:
+            raise ValueError(
+                "ResidualShapeGainVQ training requires a static (Python int)"
+                " n; got a traced/array value")
 
         residual = flatten
         q_sum = jnp.zeros_like(flatten)
@@ -199,9 +211,14 @@ class ResidualShapeGainVQ:
                     residual.astype(jnp.float32), st)
                 st_new, nr_s, nr_g = st, jnp.zeros((), jnp.int32), \
                     jnp.zeros((), jnp.int32)
-            if n is None or i < n_q:
-                residual = residual - q.astype(residual.dtype)
-                q_sum = q_sum + q.astype(q_sum.dtype)
+            if n_static:
+                if n is None or i < n_q:
+                    residual = residual - q.astype(residual.dtype)
+                    q_sum = q_sum + q.astype(q_sum.dtype)
+            else:
+                use = (jnp.asarray(i) < n_q).astype(q_sum.dtype)
+                residual = residual - (q * use).astype(residual.dtype)
+                q_sum = q_sum + (q * use).astype(q_sum.dtype)
             new_states.append(st_new)
             replaces.append(nr_s + nr_g)
 

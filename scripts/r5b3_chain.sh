@@ -1,16 +1,17 @@
 #!/bin/bash
-# Round-5b continuation chain (supersedes r5b_chain.sh stages 2-4; that
-# script's stage-1 shapegain trainer keeps running and this chain waits
-# for it). Reordered so high-value/cheap evidence lands BEFORE the long
-# flagship tail, since round wall-clock is uncertain after the recycle:
-#   1. shapegain eval                      (VERDICT r4 item 10)
-#   2. music_dirs train + 4 eval rows      (item 3)
-#   3. serving device-floor re-evidence    (round-5 logs were wiped)
+# Round-5b takeover chain (supersedes r5b2_chain.sh, whose driver was
+# killed after its stage-1 shapegain trainer crashed in infer_epoch on the
+# traced-n bug — fixed in ops/shape_gain.py — and whose stage-2 music_dirs
+# trainer was left running as an orphan). Waits for that orphan, then:
+#   1. music_dirs 4 eval rows                 (VERDICT r4 item 3)
+#   2. shapegain resume 5->10 epochs + eval   (item 10, retrained on the fix)
+#   3. serving device-floor re-evidence       (round-5 logs were wiped)
 #   4. flagship to 50 epochs + e25/e50 grid + OOD row
 #   5. LM retrain on the 50-epoch tokens + entropy rows + LIVE streaming
-#   6. bench.py 128 RTF regression (also warms the driver's compile cache)
+#   6. bench.py 128 RTF regression (warms the driver's compile cache)
 #   7. flagship resume to 100 + e75/e100 grid + OOD row
 #   8. flagship resume to 150 + e125/e150 rows (only if time remains)
+# Shares logs/r5b_status.log with r5b2 so its "ok" markers still skip.
 set -u
 cd /root/repo
 S=logs/r5b_status.log
@@ -42,18 +43,41 @@ trainrun() { # trainrun <name> <config> <timeout_s> <logfile> [-p overrides...]
     fi
 }
 
-wait_chip() { # wait until no trainer/eval holds the chip
-    while pgrep -f "train.py -n" > /dev/null 2>&1; do sleep 30; done
+# -- 0. wait for the orphaned music_dirs trainer to release the chip ----------
+# Matches only real trainer processes (argv[0] python, argv[1] train.py),
+# never this session's bash/python -c wrappers; optional $1 = orphan PID.
+ORPHAN=${1:-}
+chip_busy() {
+    [ -n "$ORPHAN" ] && [ -d "/proc/$ORPHAN" ] && return 0
+    local f c
+    for f in /proc/[0-9]*/cmdline; do
+        c=$(tr '\0' ' ' < "$f" 2>/dev/null) || continue
+        case "$c" in
+            python\ train.py\ -n\ *|python3\ train.py\ -n\ *) return 0 ;;
+        esac
+    done
+    return 1
 }
+note "r5b3 chain armed; waiting for the orphan music_dirs trainer"
+while chip_busy; do sleep 30; done
+note "chip free"
 
-note "r5b2 chain armed"
-wait_chip
+# -- 1. music_dirs evals -------------------------------------------------------
+[ -f logs/synth_music_dirs/00025.ckpt.npz ] \
+    && note "ok music_dirs train (orphan finished)" \
+    || note "WARN music_dirs 00025 ckpt missing (tail: $(tail -3 logs/r5b_music_dirs_train.log | tr -d '\r' | tail -c 200))"
+MC=logs/synth_music_dirs/config.yaml
+MK=logs/synth_music_dirs/00025.ckpt.npz
+ev music_dirs_n12 "$MC" "$MK" data/synth/music_eval 12
+ev music_dirs_n8  "$MC" "$MK" data/synth/music_eval 8
+ev music_dirs_speech_eval_n8 "$MC" "$MK" data/synth/eval 8
+ev music_dirs_ood_n8 "$MC" "$MK" data/real_segments 8
 
-# -- 1. shapegain train + eval -------------------------------------------------
+# -- 2. shapegain resume (5->10 epochs on the traced-n fix) + eval -------------
 if [ ! -f logs/synth_shapegain/00010.ckpt.npz ]; then
-    note "stage 1 (shapegain train)"
+    note "stage 2 (shapegain resume 5->10)"
     trainrun synth_shapegain configs/hilcodec_shapegain_synth.yaml \
-        7200 logs/r5b_shapegain_train.log
+        3600 logs/r5b_shapegain_train.log
     rc=$?
     [ -f logs/synth_shapegain/00010.ckpt.npz ] \
         && note "ok shapegain train (rc=$rc)" \
@@ -62,36 +86,21 @@ fi
 ev shapegain_n8 logs/synth_shapegain/config.yaml \
    logs/synth_shapegain/00010.ckpt.npz data/synth/eval 8
 
-# -- 2. music_dirs ------------------------------------------------------------
-note "stage 2 (music_dirs)"
-if [ ! -f logs/synth_music_dirs/00025.ckpt.npz ]; then
-    trainrun synth_music_dirs configs/hilcodec_music_dirs_synth.yaml \
-        7200 logs/r5b_music_dirs_train.log
-    rc=$?
-    [ -f logs/synth_music_dirs/00025.ckpt.npz ] \
-        && note "ok music_dirs train (rc=$rc)" \
-        || note "FAIL music_dirs train rc=$rc (tail: $(tail -3 logs/r5b_music_dirs_train.log | tr -d '\r' | tail -c 300))"
-fi
-MC=logs/synth_music_dirs/config.yaml
-MK=logs/synth_music_dirs/00025.ckpt.npz
-ev music_dirs_n12 "$MC" "$MK" data/synth/music_eval 12
-ev music_dirs_n8  "$MC" "$MK" data/synth/music_eval 8
-ev music_dirs_speech_eval_n8 "$MC" "$MK" data/synth/eval 8
-ev music_dirs_ood_n8 "$MC" "$MK" data/real_segments 8
-
 # -- 3. serving device floor (re-evidence: round-5 logs were wiped) ----------
-note "stage 3 (serving device floor)"
-timeout 1800 python scripts/serve_device_floor.py 128 200 \
-    > logs/r5b_serve_floor.log 2>&1
-grep -q "per-tick" logs/r5b_serve_floor.log \
-    && note "ok serve floor: $(grep 'per-tick' logs/r5b_serve_floor.log | tail -1)" \
-    || note "FAIL serve floor (tail: $(tail -2 logs/r5b_serve_floor.log | tr '\n' ' '))"
+if ! grep -q "ok serve floor:" "$S"; then
+    note "stage 3 (serving device floor)"
+    timeout 1800 python scripts/serve_device_floor.py 128 200 \
+        > logs/r5b_serve_floor.log 2>&1
+    grep -q "per-tick" logs/r5b_serve_floor.log \
+        && note "ok serve floor: $(grep 'per-tick' logs/r5b_serve_floor.log | tail -1)" \
+        || note "FAIL serve floor (tail: $(tail -2 logs/r5b_serve_floor.log | tr '\n' ' '))"
+fi
 
 # -- 4. flagship to 50 epochs -------------------------------------------------
 note "stage 4 (flagship to 50 epochs, B=48 bf16)"
 if [ ! -f logs/synth/00050.ckpt.npz ]; then
     trainrun synth configs/hilcodec_speech_synth.yaml \
-        7200 logs/r5b_speech_train.log \
+        9000 logs/r5b_speech_train.log \
         -p train.max_epochs=50 train.batch_size=48 train.compute_dtype=bfloat16
     rc=$?
     [ -f logs/synth/00050.ckpt.npz ] \
@@ -159,7 +168,7 @@ fi
 note "stage 7 (flagship resume to 100)"
 if [ ! -f logs/synth/00100.ckpt.npz ]; then
     trainrun synth configs/hilcodec_speech_synth.yaml \
-        8000 logs/r5b_speech_train.log -p train.max_epochs=100
+        9000 logs/r5b_speech_train.log -p train.max_epochs=100
     rc=$?
     [ -f logs/synth/00100.ckpt.npz ] \
         && note "ok speech100 train (rc=$rc)" \
@@ -178,7 +187,7 @@ ev speech100_ood logs/synth/config.yaml logs/synth/00100.ckpt.npz \
 note "stage 8 (flagship resume to 150)"
 if [ ! -f logs/synth/00150.ckpt.npz ]; then
     trainrun synth configs/hilcodec_speech_synth.yaml \
-        8000 logs/r5b_speech_train.log -p train.max_epochs=150
+        9000 logs/r5b_speech_train.log -p train.max_epochs=150
     rc=$?
     [ -f logs/synth/00150.ckpt.npz ] \
         && note "ok speech150 train (rc=$rc)" \
@@ -193,4 +202,4 @@ done
 ev speech150_ood logs/synth/config.yaml logs/synth/00150.ckpt.npz \
    data/real_segments 8
 
-note "r5b2 chain done"
+note "r5b3 chain done"

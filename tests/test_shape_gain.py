@@ -120,3 +120,30 @@ def test_train_loop_shapegain_one_epoch(tmp_path, rng):
     # the EMA state advanced (training actually updated the codebooks)
     st = jax.device_get(loop.state.vq_state)
     assert np.isfinite(st["gain"]).all() and np.isfinite(st["shape"]).all()
+
+
+def test_residual_shape_gain_vq_traced_n(rng):
+    """A traced n (the jitted infer/eval graphs pass `n=jnp.asarray(n)`,
+    loop.py infer_epoch) must not raise TracerBoolConversionError and must
+    equal the static-n result — the round-5 on-chip shapegain run crashed
+    here at the end of epoch 10 (shape_gain.py `i < n_q` on a tracer)."""
+    rvq = ResidualShapeGainVQ(dim=8, num_quantizers=4,
+                              shape_codebook_size=16, gain_codebook_size=4)
+    state = rvq.init_state(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 8, 10)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def eval_traced(x, state, n):
+        return rvq(x, state, key, n=n, training=False)
+
+    for n in (1, 2, 4):
+        q_s, _, loss_s, _ = rvq(x, state, key, n=n, training=False)
+        q_t, _, loss_t, _ = eval_traced(x, state, jnp.asarray(n))
+        np.testing.assert_allclose(np.asarray(q_t), np.asarray(q_s),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(float(loss_t), float(loss_s), atol=1e-6)
+
+    # training with a traced n is rejected loudly, not silently wrong
+    with pytest.raises(ValueError, match="static"):
+        rvq(x, state, key, n=jnp.asarray(2), training=True)
