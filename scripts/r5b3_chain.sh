@@ -97,16 +97,19 @@ if ! grep -q "ok serve floor:" "$S"; then
 fi
 
 # -- 4. flagship to 50 epochs -------------------------------------------------
+# Up to 3 attempts: a timeout mid-run resumes from the last save_interval=5
+# checkpoint, so retries heal timeouts instead of losing the stage's evals.
 note "stage 4 (flagship to 50 epochs, B=48 bf16)"
-if [ ! -f logs/synth/00050.ckpt.npz ]; then
+for attempt in 1 2 3; do
+    [ -f logs/synth/00050.ckpt.npz ] && break
     trainrun synth configs/hilcodec_speech_synth.yaml \
         9000 logs/r5b_speech_train.log \
         -p train.max_epochs=50 train.batch_size=48 train.compute_dtype=bfloat16
     rc=$?
     [ -f logs/synth/00050.ckpt.npz ] \
-        && note "ok speech50 train (rc=$rc)" \
-        || note "WARN speech50 trainer rc=$rc without 00050.ckpt.npz"
-fi
+        && note "ok speech50 train (rc=$rc, attempt $attempt)" \
+        || note "WARN speech50 attempt $attempt rc=$rc without 00050.ckpt.npz (latest: $(ls -t logs/synth/*.ckpt.npz 2>/dev/null | head -1))"
+done
 for ep in 00025 00050; do
     for nq in 2 4 8; do
         ev "speech_e${ep}_n${nq}" logs/synth/config.yaml \
@@ -166,14 +169,15 @@ fi
 
 # -- 7. flagship 50 -> 100 ------------------------------------------------------
 note "stage 7 (flagship resume to 100)"
-if [ ! -f logs/synth/00100.ckpt.npz ]; then
+for attempt in 1 2 3; do
+    [ -f logs/synth/00100.ckpt.npz ] && break
     trainrun synth configs/hilcodec_speech_synth.yaml \
         9000 logs/r5b_speech_train.log -p train.max_epochs=100
     rc=$?
     [ -f logs/synth/00100.ckpt.npz ] \
-        && note "ok speech100 train (rc=$rc)" \
-        || note "WARN speech100 trainer rc=$rc without 00100.ckpt.npz"
-fi
+        && note "ok speech100 train (rc=$rc, attempt $attempt)" \
+        || note "WARN speech100 attempt $attempt rc=$rc without 00100.ckpt.npz (latest: $(ls -t logs/synth/*.ckpt.npz 2>/dev/null | head -1))"
+done
 for ep in 00075 00100; do
     for nq in 2 4 8; do
         ev "speech_e${ep}_n${nq}" logs/synth/config.yaml \
@@ -185,14 +189,15 @@ ev speech100_ood logs/synth/config.yaml logs/synth/00100.ckpt.npz \
 
 # -- 8. flagship 100 -> 150 (reference full budget; only if time remains) ------
 note "stage 8 (flagship resume to 150)"
-if [ ! -f logs/synth/00150.ckpt.npz ]; then
+for attempt in 1 2 3; do
+    [ -f logs/synth/00150.ckpt.npz ] && break
     trainrun synth configs/hilcodec_speech_synth.yaml \
         9000 logs/r5b_speech_train.log -p train.max_epochs=150
     rc=$?
     [ -f logs/synth/00150.ckpt.npz ] \
-        && note "ok speech150 train (rc=$rc)" \
-        || note "WARN speech150 trainer rc=$rc without 00150.ckpt.npz"
-fi
+        && note "ok speech150 train (rc=$rc, attempt $attempt)" \
+        || note "WARN speech150 attempt $attempt rc=$rc without 00150.ckpt.npz (latest: $(ls -t logs/synth/*.ckpt.npz 2>/dev/null | head -1))"
+done
 for ep in 00125 00150; do
     for nq in 2 4 8; do
         ev "speech_e${ep}_n${nq}" logs/synth/config.yaml \
