@@ -208,3 +208,19 @@ ev speech150_ood logs/synth/config.yaml logs/synth/00150.ckpt.npz \
    data/real_segments 8
 
 note "r5b3 chain done"
+
+# -- 9. appended retries (landed while the chain was running) -----------------
+# music_dirs OOD row: first attempt timed out at 2400 s with zero output
+# (fresh 256-frame offline-program compile or a wedge — logged 10:48:27).
+# Retry with verbose per-file progress and a bigger budget; the compile
+# cache should make the model leg fast if the first attempt's compile
+# finished before its timeout.
+if ! grep -q "ok music_dirs_ood_n8:" "$S"; then
+    timeout 3600 python eval.py -c logs/synth_music_dirs/config.yaml \
+        --ckpt logs/synth_music_dirs/00025.ckpt.npz -i data/real_segments \
+        -n 8 -m "$METRICS" -v > logs/r5b_eval_music_dirs_ood_n8.log 2>&1
+    grep -q "+/-" logs/r5b_eval_music_dirs_ood_n8.log \
+        && note "ok music_dirs_ood_n8: $(grep -E '\+/-' logs/r5b_eval_music_dirs_ood_n8.log | tr '\n' ' ')" \
+        || note "FAIL music_dirs_ood_n8 retry (tail: $(tr '\r' '\n' < logs/r5b_eval_music_dirs_ood_n8.log | tail -3 | tr '\n' ' '))"
+fi
+note "r5b3 chain done (incl. appended retries)"
